@@ -1,0 +1,73 @@
+"""Optimizer configuration.
+
+The reference hard-codes its LM hyper-parameters (maxq=10, tau=1e-5,
+src/cuda_bundle_adjustment.cpp:795-796) and selects fp32/fp64 at compile time
+(src/scalar.h:25-29).  Here they are documented runtime options.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def default_dtype():
+    """fp64 when x64 is enabled (parity mode), else fp32 (TPU fast path)."""
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Configuration for :class:`cuba_tpu.BundleAdjustment`.
+
+    Attributes:
+      dtype: compute dtype for the numeric path.  ``None`` → fp64 if JAX x64
+        is enabled, else fp32 (the USE_FLOAT32 analogue, scalar.h:25-29).
+      chi_dtype: accumulation dtype for chi² reductions.  Defaults to fp64 so
+        per-iteration chi² stays parity-grade even on the fp32 fast path.
+      max_inner_iterations: LM trust-region retries per outer iteration
+        (``maxq`` in cuda_bundle_adjustment.cpp:795).
+      tau: initial damping factor, lambda0 = tau * max(diag H)
+        (cuda_bundle_adjustment.cpp:796,813-814).
+      scale_eps: epsilon added to the gain-ratio denominator
+        (cuda_bundle_adjustment.cpp:829).
+      attenuation_min/max: clamp bounds for the accepted-step damping
+        attenuation 1-(2*rho-1)^3 (cuda_bundle_adjustment.cpp:834,890-891).
+      solver: reduced-system solver: "dense_cholesky" (default; padded dense
+        blocked Cholesky on the MXU) or "pcg" (block-Jacobi preconditioned
+        conjugate gradient, for very large pose counts).
+      refinement_steps: iterative-refinement sweeps after the Cholesky solve
+        when running the fp32 fast path (residual accumulated in fp64).
+      pcg_max_iterations / pcg_tol: PCG stopping controls.
+      pose_block_pad: pad the dense reduced system to a multiple of this
+        (128 aligns with the MXU lane count).
+    """
+
+    dtype: Optional[jnp.dtype] = None
+    chi_dtype: jnp.dtype = jnp.float64
+    max_inner_iterations: int = 10
+    tau: float = 1e-5
+    scale_eps: float = 1e-3
+    attenuation_min: float = 1.0 / 3.0
+    attenuation_max: float = 2.0 / 3.0
+    solver: str = "dense_cholesky"
+    refinement_steps: int = 2
+    pcg_max_iterations: int = 250
+    pcg_tol: float = 1e-10
+    pose_block_pad: int = 128
+
+    def resolve_dtype(self):
+        return jnp.dtype(self.dtype) if self.dtype is not None else jnp.dtype(default_dtype())
+
+    def resolve_chi_dtype(self):
+        import jax
+
+        d = jnp.dtype(self.chi_dtype)
+        if d == jnp.float64 and not jax.config.jax_enable_x64:
+            # x64 disabled: fp64 would silently downcast; keep it explicit.
+            return jnp.dtype(jnp.float32)
+        return d

@@ -1,0 +1,387 @@
+"""Block-solver engine: jitted numeric pipeline + on-device LM driver.
+
+Plays the role of the reference's ``CudaBlockSolver`` + the LM loop in
+``CudaBundleAdjustmentImpl::optimize`` (reference:
+src/cuda_bundle_adjustment.cpp:73-673, :793-857), re-architected for XLA:
+
+* ``optimize()`` runs the ENTIRE Levenberg-Marquardt loop — damping, solve,
+  SE3 updates, chi2, gain ratio, accept/reject — inside one jitted
+  ``lax.while_loop``.  The reference pays 4 host synchronisations per inner
+  attempt (SURVEY.md §3.1); here there are zero.
+* ``push``/``pop`` solution backups (cpp:502-510) vanish: rejected trial
+  states are simply not carried forward (functional update).
+* Per-phase profiling (the reference's 8-phase TimeProfile, cpp:77-88) is
+  served by a phase-split driver that calls the same jitted building blocks
+  with ``block_until_ready`` timing fences.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuba_tpu.config import BAConfig
+from cuba_tpu.ops import se3, smallmat
+from cuba_tpu.solver import assembly, dense_cholesky, schur
+from cuba_tpu.solver.assembly import EdgeConsts
+from cuba_tpu.solver.schur import SchurConsts
+from cuba_tpu.solver.structure import BAStructure
+
+PROFILE_ITEMS = (
+    "0: Initialize Optimizer",
+    "1: Build Structure",
+    "2: Compute Error",
+    "3: Build System",
+    "4: Schur Complement",
+    "5: Symbolic Decomposition",
+    "6: Numerical Decomposition",
+    "7: Update Solution",
+)
+
+# pad the dense Schur system so 6*PB is a multiple of 384 = lcm(6, 128):
+# full MXU lanes with whole 6x6 blocks
+_BLOCK_PAD = 64
+
+
+class State(NamedTuple):
+    qs: jnp.ndarray  # [total_p, 4]
+    ts: jnp.ndarray  # [total_p, 3]
+    Xws: jnp.ndarray  # [total_l, 3]
+
+
+class Consts(NamedTuple):
+    cams: jnp.ndarray  # [total_p, 5]
+    mono: EdgeConsts
+    stereo: EdgeConsts
+    sc: SchurConsts
+
+
+class LMResult(NamedTuple):
+    state: State
+    chis: jnp.ndarray  # [niterations] F after each outer iteration
+    niters: jnp.ndarray  # number of outer iterations actually run
+    final_lambda: jnp.ndarray
+
+
+def _pad_blocks(num_p: int) -> int:
+    return max(((num_p + _BLOCK_PAD - 1) // _BLOCK_PAD) * _BLOCK_PAD, _BLOCK_PAD)
+
+
+class BlockSolverEngine:
+    """Owns device constants + compiled functions for one problem structure."""
+
+    def __init__(self, structure: BAStructure, kernels, config: BAConfig):
+        self.structure = structure
+        self.config = config
+        self.dtype = config.resolve_dtype()
+        self.chi_dtype = config.resolve_chi_dtype()
+        # robust kernels: ((type, delta) mono, (type, delta) stereo) — static
+        self.kernels = tuple((int(k[0]), float(k[1])) for k in kernels)
+
+        s = structure
+        self.num_p, self.num_l = s.num_p, s.num_l
+        self.pad_blocks = _pad_blocks(s.num_p)
+
+        dt = self.dtype
+        idt = jnp.int32
+        self.state = State(
+            qs=jnp.asarray(s.qs, dt), ts=jnp.asarray(s.ts, dt), Xws=jnp.asarray(s.Xws, dt)
+        )
+        self.consts = Consts(
+            cams=jnp.asarray(s.cams, dt),
+            mono=EdgeConsts(
+                meas=jnp.asarray(s.mono.measurements, dt),
+                omega=jnp.asarray(s.mono.omegas, dt),
+                pose_idx=jnp.asarray(s.mono.pose_idx, idt),
+                lm_idx=jnp.asarray(s.mono.lm_idx, idt),
+                edge2hpl=jnp.asarray(s.edge2hpl[: s.mono.count], idt),
+            ),
+            stereo=EdgeConsts(
+                meas=jnp.asarray(s.stereo.measurements, dt),
+                omega=jnp.asarray(s.stereo.omegas, dt),
+                pose_idx=jnp.asarray(s.stereo.pose_idx, idt),
+                lm_idx=jnp.asarray(s.stereo.lm_idx, idt),
+                edge2hpl=jnp.asarray(s.edge2hpl[s.mono.count :], idt),
+            ),
+            sc=SchurConsts(
+                hpl_row=jnp.asarray(s.hpl_row, idt),
+                hpl_col=jnp.asarray(s.hpl_col, idt),
+                hsc_row=jnp.asarray(s.hsc_row, idt),
+                hsc_col=jnp.asarray(s.hsc_col, idt),
+                mul_i=jnp.asarray(s.mul_i, idt),
+                mul_j=jnp.asarray(s.mul_j, idt),
+                mul_k=jnp.asarray(s.mul_k, idt),
+            ),
+        )
+
+        self._jit_cache: Dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    # building blocks (pure functions over (state, consts))
+    # ------------------------------------------------------------------
+
+    def _residuals_and_chi(self, state: State, consts: Consts):
+        """computeErrors equivalent (cpp:368-382): residuals, Xcs, total chi."""
+        chi = jnp.zeros((), self.chi_dtype)
+        err2, Xc2 = assembly.edge_residuals(
+            state.qs, state.ts, consts.cams, state.Xws, consts.mono, 2
+        )
+        err3, Xc3 = assembly.edge_residuals(
+            state.qs, state.ts, consts.cams, state.Xws, consts.stereo, 3
+        )
+        if self.structure.mono.count:
+            chi = chi + assembly.chi_sum(err2, consts.mono.omega, self.kernels[0], self.chi_dtype)
+        if self.structure.stereo.count:
+            chi = chi + assembly.chi_sum(err3, consts.stereo.omega, self.kernels[1], self.chi_dtype)
+        return err2, Xc2, err3, Xc3, chi
+
+    def _chi_only(self, state: State, consts: Consts):
+        _, _, _, _, chi = self._residuals_and_chi(state, consts)
+        return chi
+
+    def _build(self, state: State, consts: Consts, err2, Xc2, err3, Xc3):
+        return assembly.build_system(
+            state.qs,
+            consts.cams,
+            self.num_p,
+            self.num_l,
+            self.structure.n_hpl,
+            consts.mono,
+            consts.stereo,
+            err2,
+            Xc2,
+            err3,
+            Xc3,
+            self.kernels,
+        )
+
+    def _solve(self, Hpp, bp, Hll, bl, Hpl, lam, consts: Consts):
+        """One damped trial solve (cpp:432-481).  Returns (xp, xl, ok)."""
+        s = self.structure
+        dt = self.dtype
+        if s.optimize_p and s.optimize_l:
+            Hpp_d = assembly.damp(Hpp, lam)
+            Hll_d = assembly.damp(Hll, lam)
+            Dm, bsc, invHll = schur.reduce_system(
+                Hpp_d, bp, Hll_d, bl, Hpl, consts.sc, self.num_p, self.pad_blocks
+            )
+            n = 6 * self.pad_blocks
+            rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bsc.reshape(-1))
+            refine = self.config.refinement_steps if dt == jnp.float32 else 0
+            x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+            xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
+            xl = schur.back_substitute(invHll, bl, Hpl, xp, consts.sc, self.num_l)
+            return xp, xl, ok
+        if s.optimize_p:
+            Hpp_d = assembly.damp(Hpp, lam)
+            xp = smallmat.solve_sym6x6(Hpp_d, bp)
+            return xp, jnp.zeros((0, 3), dt), jnp.all(jnp.isfinite(xp))
+        Hll_d = assembly.damp(Hll, lam)
+        xl = smallmat.solve_sym3x3(Hll_d, bl)
+        return jnp.zeros((0, 6), dt), xl, jnp.all(jnp.isfinite(xl))
+
+    def _apply_update(self, state: State, xp, xl):
+        """updatePoses + updateLandmarks (cu:1045-1068), active vertices only."""
+        qs, ts, Xws = state.qs, state.ts, state.Xws
+        if self.num_p:
+            qn, tn = se3.update_pose(xp, qs[: self.num_p], ts[: self.num_p])
+            qs = qs.at[: self.num_p].set(qn)
+            ts = ts.at[: self.num_p].set(tn)
+        if self.num_l:
+            Xws = Xws.at[: self.num_l].add(xl)
+        return State(qs, ts, Xws)
+
+    def _scale(self, xp, xl, bp, bl, lam):
+        """Gain-ratio denominator sum x*(lambda*x + b) (cu:1070-1091)."""
+        total = jnp.zeros((), self.dtype)
+        if self.num_p:
+            total = total + jnp.sum(xp * (lam * xp + bp))
+        if self.num_l:
+            total = total + jnp.sum(xl * (lam * xl + bl))
+        return total
+
+    # ------------------------------------------------------------------
+    # fused on-device LM loop
+    # ------------------------------------------------------------------
+
+    def _make_lm_run(self, niterations: int):
+        cfg = self.config
+        maxq = cfg.max_inner_iterations
+        dt = self.dtype
+
+        def lm_run(state: State, consts: Consts) -> LMResult:
+            def attenuation(rho):
+                a = 1.0 - (2.0 * rho - 1.0) ** 3
+                return jnp.clip(a, cfg.attenuation_min, cfg.attenuation_max)
+
+            def outer_cond(carry):
+                it, _, _, _, _, done = carry
+                return (it < niterations) & ~done
+
+            def outer_body(carry):
+                it, st, lam, nu, chis, done = carry
+                err2, Xc2, err3, Xc3, F0 = self._residuals_and_chi(st, consts)
+                F = F0.astype(dt)
+                Hpp, bp, Hll, bl, Hpl = self._build(st, consts, err2, Xc2, err3, Xc3)
+                lam = jnp.where(
+                    it == 0, cfg.tau * assembly.max_diagonal(Hpp, Hll).astype(dt), lam
+                )
+
+                def inner_cond(c):
+                    q, rho = c[0], c[1]
+                    return (q < maxq) & (rho < 0)
+
+                def inner_body(c):
+                    q, _, lam_c, nu_c, _, Fc = c
+                    xp, xl, ok = self._solve(Hpp, bp, Hll, bl, Hpl, lam_c, consts)
+                    trial = self._apply_update(st, xp, xl)
+                    Fhat = self._chi_only(trial, consts).astype(dt)
+                    scale = self._scale(xp, xl, bp, bl, lam_c) + dt.type(cfg.scale_eps)
+                    rho = jnp.where(ok, (F - Fhat) / scale, dt.type(-1.0))
+                    accept = rho > 0
+                    lam_n = jnp.where(accept, lam_c * attenuation(rho), lam_c * nu_c)
+                    nu_n = jnp.where(accept, dt.type(2.0), nu_c * 2.0)
+                    st_n = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, st)
+                    F_n = jnp.where(accept, Fhat, Fc)
+                    return (q + 1, rho, lam_n, nu_n, st_n, F_n)
+
+                init = (jnp.int32(0), dt.type(-1.0), lam, nu, st, F)
+                q, rho, lam, nu, st, F = jax.lax.while_loop(inner_cond, inner_body, init)
+
+                chis = chis.at[it].set(F.astype(self.chi_dtype))
+                done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
+                return (it + 1, st, lam, nu, chis, done)
+
+            init = (
+                jnp.int32(0),
+                state,
+                dt.type(0.0),
+                dt.type(2.0),
+                jnp.zeros((niterations,), self.chi_dtype),
+                jnp.bool_(False),
+            )
+            it, st, lam, nu, chis, done = jax.lax.while_loop(outer_cond, outer_body, init)
+            return LMResult(state=st, chis=chis, niters=it, final_lambda=lam)
+
+        return lm_run
+
+    def optimize(self, state: State, niterations: int) -> LMResult:
+        key = ("lm_run", niterations)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._make_lm_run(niterations))
+        return self._jit_cache[key](state, self.consts)
+
+    # ------------------------------------------------------------------
+    # phase-split driver (host-stepped; produces the 8-phase TimeProfile)
+    # ------------------------------------------------------------------
+
+    def _get_jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def optimize_profiled(self, state: State, niterations: int):
+        """Reference-equivalent LM loop stepped from the host with per-phase
+        timers (cpp:793-857 + ProfileItem timing).  Same numerics as
+        ``optimize``; slower because of the per-phase synchronisation."""
+        cfg = self.config
+        prof = {k: 0.0 for k in PROFILE_ITEMS}
+        residuals = self._get_jit("residuals", self._residuals_and_chi)
+        chi_only = self._get_jit("chi_only", self._chi_only)
+        build = self._get_jit("build", self._build)
+        maxdiag = self._get_jit(
+            "maxdiag", lambda Hpp, Hll: assembly.max_diagonal(Hpp, Hll)
+        )
+        solve = self._get_jit("solve", self._solve)
+        applyu = self._get_jit("apply", self._apply_update)
+        scalef = self._get_jit("scale", self._scale)
+
+        def tick():
+            jax.block_until_ready(state)
+            return time.perf_counter()
+
+        chis = []
+        lam, nu, F = 0.0, 2.0, 0.0
+        for it in range(niterations):
+            t0 = time.perf_counter()
+            err2, Xc2, err3, Xc3, F_dev = residuals(state, self.consts)
+            F = float(F_dev)
+            prof["2: Compute Error"] += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            Hpp, bp, Hll, bl, Hpl = jax.block_until_ready(
+                build(state, self.consts, err2, Xc2, err3, Xc3)
+            )
+            prof["3: Build System"] += time.perf_counter() - t0
+
+            if it == 0:
+                lam = cfg.tau * float(maxdiag(Hpp, Hll))
+
+            q, rho = 0, -1.0
+            while q < cfg.max_inner_iterations and rho < 0:
+                t0 = time.perf_counter()
+                xp, xl, ok = jax.block_until_ready(
+                    solve(Hpp, bp, Hll, bl, Hpl, self.dtype.type(lam), self.consts)
+                )
+                prof["6: Numerical Decomposition"] += time.perf_counter() - t0
+
+                t0 = time.perf_counter()
+                trial = jax.block_until_ready(applyu(state, xp, xl))
+                prof["7: Update Solution"] += time.perf_counter() - t0
+
+                t0 = time.perf_counter()
+                Fhat = float(chi_only(trial, self.consts))
+                prof["2: Compute Error"] += time.perf_counter() - t0
+
+                scale = float(scalef(xp, xl, bp, bl, self.dtype.type(lam))) + cfg.scale_eps
+                rho = (F - Fhat) / scale if bool(ok) else -1.0
+                if rho > 0:
+                    a = 1.0 - (2.0 * rho - 1.0) ** 3
+                    lam *= float(np.clip(a, cfg.attenuation_min, cfg.attenuation_max))
+                    nu = 2.0
+                    F = Fhat
+                    state = trial
+                    break
+                lam *= nu
+                nu *= 2.0
+                q += 1
+
+            chis.append(F)
+            if q == cfg.max_inner_iterations or rho <= 0 or not np.isfinite(lam):
+                break
+
+        chis_arr = jnp.asarray(np.array(chis + [0.0] * (niterations - len(chis))))
+        return (
+            LMResult(
+                state=state,
+                chis=chis_arr,
+                niters=jnp.int32(len(chis)),
+                final_lambda=jnp.asarray(lam, self.dtype),
+            ),
+            prof,
+        )
+
+    # ------------------------------------------------------------------
+
+    def chi_squares(self, state: State) -> np.ndarray:
+        """Per-edge unrobustified chi2 in combined (mono, stereo) edge order."""
+
+        def fn(st, consts):
+            out = []
+            if self.structure.mono.count:
+                e2, _ = assembly.edge_residuals(st.qs, st.ts, consts.cams, st.Xws, consts.mono, 2)
+                out.append(assembly.chi_squares(e2, consts.mono.omega))
+            else:
+                out.append(jnp.zeros((0,), self.dtype))
+            if self.structure.stereo.count:
+                e3, _ = assembly.edge_residuals(st.qs, st.ts, consts.cams, st.Xws, consts.stereo, 3)
+                out.append(assembly.chi_squares(e3, consts.stereo.omega))
+            else:
+                out.append(jnp.zeros((0,), self.dtype))
+            return jnp.concatenate(out)
+
+        return np.asarray(self._get_jit("chi_squares", fn)(state, self.consts))

@@ -1,0 +1,92 @@
+"""Schur complement: reduce the (6P+3L) system to 6P, and back-substitute.
+
+Counterpart of the reference kernels (reference: src/cuda_block_solver.cu:
+933-953 computeBschureKernel, :955-977 initializeHschur/computeHschure,
+:1029-1043 schurComplementPostKernel).  The per-landmark column walks with
+atomic scatter become batched 6x3/3x3 einsums plus segment_sums over the
+precomputed multiplication triplets (mul_i, mul_j, mul_k), and the sparse
+block result is scattered once into a dense, MXU-tile-padded matrix that
+feeds the dense blocked Cholesky — replacing the whole cuSOLVER CSR pipeline
+(src/cuda_linear_solver.cpp) with zero symbolic cost.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuba_tpu.ops import smallmat
+
+
+class SchurConsts(NamedTuple):
+    hpl_row: jnp.ndarray  # [n_hpl]
+    hpl_col: jnp.ndarray  # [n_hpl]
+    hsc_row: jnp.ndarray  # [n_hsc]
+    hsc_col: jnp.ndarray  # [n_hsc]
+    mul_i: jnp.ndarray  # [n_mul]
+    mul_j: jnp.ndarray  # [n_mul]
+    mul_k: jnp.ndarray  # [n_mul]
+
+
+def reduce_system(
+    Hpp_d: jnp.ndarray,  # damped [P,6,6]
+    bp: jnp.ndarray,  # [P,6]
+    Hll_d: jnp.ndarray,  # damped [L,3,3]
+    bl: jnp.ndarray,  # [L,3]
+    Hpl: jnp.ndarray,  # [n_hpl,6,3]
+    sc: SchurConsts,
+    num_p: int,
+    pad_blocks: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Form the dense padded Schur system.
+
+    Returns (Hsc_dense [6*PB, 6*PB], bsc [P,6], invHll [L,3,3]) where
+    PB = pad_blocks >= num_p and the padded diagonal is identity, keeping the
+    matrix SPD.  Hsc = Hpp - Hpl Hll^-1 Hpl^T;  bsc = bp - Hpl Hll^-1 bl.
+    """
+    dtype = bp.dtype
+    invHll = smallmat.sym3x3_inv(Hll_d)
+
+    # W = Hpl * invHll per slot (cu:949), then bsc (cu:950, bsc preinit = bp)
+    W = jnp.einsum("kij,kjl->kil", Hpl, invHll[sc.hpl_col])
+    Wbl = jnp.einsum("kij,kj->ki", W, bl[sc.hpl_col])
+    bsc = bp - jax.ops.segment_sum(Wbl, sc.hpl_row, num_segments=num_p)
+
+    # Hsc blocks: per triplet W[i] @ Hpl[j]^T, reduced by target block (cu:964-977)
+    n_hsc = sc.hsc_row.shape[0]
+    prod = jnp.einsum("tik,tjk->tij", W[sc.mul_i], Hpl[sc.mul_j])
+    blocks = jax.ops.segment_sum(prod, sc.mul_k, num_segments=n_hsc)
+
+    # dense scatter: diag Hpp, off-diag -blocks and mirrored transpose
+    D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
+    diag = jnp.arange(num_p)
+    D = D.at[diag, :, diag, :].add(Hpp_d)
+    D = D.at[sc.hsc_row, :, sc.hsc_col, :].add(-blocks)
+    offdiag = (sc.hsc_row != sc.hsc_col)[:, None, None]
+    mirrored = jnp.where(offdiag, -jnp.swapaxes(blocks, -1, -2), jnp.zeros_like(blocks))
+    D = D.at[sc.hsc_col, :, sc.hsc_row, :].add(mirrored)
+
+    n = 6 * pad_blocks
+    Dm = D.reshape(n, n)
+    # identity on the padded diagonal
+    pad_diag = jnp.concatenate(
+        [jnp.zeros(6 * num_p, dtype), jnp.ones(n - 6 * num_p, dtype)]
+    )
+    Dm = Dm + jnp.diag(pad_diag)
+    return Dm, bsc, invHll
+
+
+def back_substitute(
+    invHll: jnp.ndarray,  # [L,3,3]
+    bl: jnp.ndarray,  # [L,3]
+    Hpl: jnp.ndarray,  # [n_hpl,6,3]
+    xp: jnp.ndarray,  # [P,6]
+    sc: SchurConsts,
+    num_l: int,
+) -> jnp.ndarray:
+    """xl = Hll^-1 (bl - Hpl^T xp), per landmark (cu:1029-1043)."""
+    contrib = jnp.einsum("kij,ki->kj", Hpl, xp[sc.hpl_row])  # Hpl^T xp per slot
+    cl = bl - jax.ops.segment_sum(contrib, sc.hpl_col, num_segments=num_l)
+    return jnp.einsum("kij,kj->ki", invHll, cl)

@@ -1,0 +1,22 @@
+"""Test configuration: run on CPU with 8 virtual devices (multi-chip sharding
+tests) and fp64 enabled (parity-grade numerics, the role g2o's CPU fp64 plays
+for the reference, reference: samples/sample_comparison_with_g2o.cpp)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
