@@ -1,0 +1,119 @@
+"""Benchmark: kitti_00-scale bundle adjustment, 10 LM iterations.
+
+Mirrors the reference's headline benchmark (reference: README.md:28-38 —
+ba_kitti_00: 1322 poses / 133,383 landmarks / 561,116 edges, 10 LM iters,
+GTX 1080: 1.23 s).  The reference's KITTI fixture (ba_input.7z) is not in
+its checkout, so we generate a synthetic problem with the same vertex/edge
+counts and co-visibility structure.
+
+Timed region matches the reference sample (samples/sample_ba_from_file.cpp:
+31-75): a warm-up initialize+optimize is run first (JIT compile analogue of
+the reference's warm-up), then initialize() + optimize(10) is timed.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GPU_SECONDS = 1.23  # reference README.md:38, GTX 1080
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="kitti_07-scale instead of kitti_00")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # fp64 chi accumulation
+    import jax.numpy as jnp
+
+    from cuba_tpu.config import BAConfig
+    from cuba_tpu.io import synthetic
+    from cuba_tpu.ops import robust
+    from cuba_tpu.solver.engine import BlockSolverEngine
+    from cuba_tpu.solver.structure import build_structure_from_arrays
+
+    if args.quick:
+        n_poses, n_lms, mean_obs = 248, 26127, 3.6  # ba_kitti_07 scale
+        name = "kitti07_scale"
+    else:
+        n_poses, n_lms, mean_obs = 1322, 133383, 4.2  # ba_kitti_00 scale
+        name = "kitti00_scale"
+
+    t0 = time.perf_counter()
+    prob = synthetic.generate(
+        num_poses=n_poses,
+        num_landmarks=n_lms,
+        mean_obs_per_landmark=mean_obs,
+        stereo_fraction=0.25,
+        seed=0,
+    )
+    nedges = prob.mono_p.size + prob.stereo_p.size
+    if args.verbose:
+        print(
+            f"# generated {n_poses} poses / {n_lms} landmarks / {nedges} edges "
+            f"in {time.perf_counter()-t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    cams = np.tile(prob.cam, (n_poses, 1))
+    fixed_p = np.zeros(n_poses, bool)
+    fixed_p[prob.fixed_poses] = True
+    fixed_l = np.zeros(n_lms, bool)
+
+    def compile_problem():
+        return build_structure_from_arrays(
+            prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
+            prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+            prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+        )
+
+    kernels = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    config = BAConfig(dtype=jnp.float32 if args.dtype == "float32" else jnp.float64)
+
+    # --- warm-up (JIT compile; reference excludes its warm-up too) -------
+    t0 = time.perf_counter()
+    structure = compile_problem()
+    engine = BlockSolverEngine(structure, kernels, config)
+    result = jax.block_until_ready(engine.optimize(engine.state, args.iters))
+    warm = time.perf_counter() - t0
+    chis_warm = np.asarray(result.chis)[: int(result.niters)]
+    if args.verbose:
+        print(f"# warm-up (incl. compile): {warm:.2f}s, chi2 {chis_warm[:3]}...", file=sys.stderr)
+
+    # --- timed: initialize + upload + optimize(iters) --------------------
+    t0 = time.perf_counter()
+    structure = compile_problem()
+    engine = BlockSolverEngine(structure, kernels, config)
+    result = jax.block_until_ready(engine.optimize(engine.state, args.iters))
+    elapsed = time.perf_counter() - t0
+
+    chis = np.asarray(result.chis)[: int(result.niters)]
+    assert chis.size >= 2 and chis[-1] <= chis[0], f"LM failed to converge: {chis}"
+    if args.verbose:
+        print(f"# chi2 trajectory: {chis}", file=sys.stderr)
+        print(f"# iterations run: {int(result.niters)}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{name}_ba_{args.iters}LM_iters_wall",
+                "value": round(elapsed, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_GPU_SECONDS / elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -124,21 +124,18 @@ def generate(
     up = np.array([0.0, 1.0, 0.0])
     gt_Xws = centers[anchor] + ahead[:, None] * fwd + side[:, None] * lat + height[:, None] * up
 
-    # observations: window of poses around the anchor
+    # observations: window of poses around the anchor (vectorized: each
+    # in-window pose observes the landmark with probability keeping the mean)
     win = max(int(round(mean_obs_per_landmark)), 1)
-    obs_p, obs_l = [], []
-    for li in range(num_landmarks):
-        a = int(anchor[li])
-        lo = max(0, a - win)
-        hi = min(num_poses, a + win + 1)
-        cand = np.arange(lo, hi)
-        rng.shuffle(cand)
-        take = cand[: max(2, min(len(cand), int(rng.poisson(mean_obs_per_landmark)) + 1))]
-        for p in take:
-            obs_p.append(p)
-            obs_l.append(li)
-    obs_p = np.asarray(obs_p, np.int64)
-    obs_l = np.asarray(obs_l, np.int64)
+    keep_p = min(mean_obs_per_landmark / (2 * win + 1), 1.0)
+    offsets = np.arange(-win, win + 1)
+    cand_p = anchor[:, None] + offsets[None, :]  # [L, 2w+1]
+    keep = rng.random(cand_p.shape) < keep_p
+    keep[:, win] = True  # anchor pose always observes (>= 1 obs/landmark)
+    keep &= (cand_p >= 0) & (cand_p < num_poses)
+    obs_l, obs_k = np.nonzero(keep)
+    obs_p = cand_p[obs_l, obs_k].astype(np.int64)
+    obs_l = obs_l.astype(np.int64)
 
     # project, keep in-frustum observations
     Xc = _quat_rotate(gt_qs[obs_p], gt_Xws[obs_l]) + gt_ts[obs_p]

@@ -1,0 +1,450 @@
+"""Landmark-sharded multi-chip bundle adjustment (shard_map + psum).
+
+The reference is strictly single-GPU (its only parallelism is per-edge CUDA
+threads + atomics; there is no NCCL/MPI anywhere — SURVEY.md §2).  This
+module adds the TPU-native scaling axis: landmarks (and their edges) are
+partitioned across a device mesh, poses are replicated, and the Schur
+reduction rides ICI all-reduces:
+
+  per shard:   residuals, chi2 part, Hpp/bp contributions, Hll/bl (owned),
+               Hpl blocks (owned), invHll, W = Hpl invHll, local triplet
+               products scattered into a local dense Schur image
+  collectives: chi2 = psum;  Hpp, bp, bsc, dense Hsc = psum (one fused
+               all-reduce of the padded dense matrix per LM attempt)
+  replicated:  lambda control, dense Cholesky of the reduced system, pose
+               update (identical on every device)
+  local:       back-substitution xl and landmark updates (owned landmarks)
+
+The whole LM loop (same control law as the single-chip engine,
+reference: src/cuda_bundle_adjustment.cpp:793-857) runs inside ONE
+shard_map-ped jitted while_loop: zero host synchronisation per iteration,
+collectives only where the math requires them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuba_tpu.config import BAConfig
+from cuba_tpu.ops import robust, se3, smallmat
+from cuba_tpu.solver import assembly, dense_cholesky
+from cuba_tpu.solver.assembly import EdgeConsts
+from cuba_tpu.solver.structure import BAStructure
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+AXIS = "landmarks"
+
+
+class ShardedConsts(NamedTuple):
+    """Per-shard device arrays; leading axis = shard."""
+
+    cams: jnp.ndarray  # [total_p, 5] replicated
+    mono: EdgeConsts  # leading axis [S, E2pad, ...]; lm_idx is shard-LOCAL
+    stereo: EdgeConsts
+    hpl_row: jnp.ndarray  # [S, Hpad] global pose row per local slot
+    hpl_col: jnp.ndarray  # [S, Hpad] shard-local landmark col
+    mul_i: jnp.ndarray  # [S, Mpad] local slot
+    mul_j: jnp.ndarray  # [S, Mpad]
+    mul_r: jnp.ndarray  # [S, Mpad] global pose pair (row)
+    mul_c: jnp.ndarray  # [S, Mpad] global pose pair (col)
+    lm_count: jnp.ndarray  # [S] active landmarks in shard
+
+
+@dataclasses.dataclass
+class ShardedProblem:
+    structure: BAStructure
+    n_shards: int
+    lm_pad: int  # landmarks per shard (padded)
+    consts: ShardedConsts
+    qs: jnp.ndarray  # [total_p, 4] replicated
+    ts: jnp.ndarray
+    Xws: jnp.ndarray  # [S, lm_pad, 3] sharded
+    lm_shard: np.ndarray  # [num_l] -> shard id (for gathering results)
+    lm_local: np.ndarray  # [num_l] -> local index
+
+
+def _pad2(a: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+def shard_problem(structure: BAStructure, n_shards: int, dtype) -> ShardedProblem:
+    """Partition landmarks round-robin-by-block and regroup all per-edge /
+    per-slot / per-triplet arrays by owning shard, padded to equal size.
+
+    Padded edges carry omega = 0 (zero contribution everywhere) and index 0.
+    Fixed landmarks are replicated to every shard's tail (they are read-only).
+    """
+    s = structure
+    S = n_shards
+    num_l, total_l = s.num_l, s.total_l
+    n_fixed_l = total_l - num_l
+
+    # contiguous blocks of active landmarks per shard
+    base = -(-num_l // S) if num_l else 0  # ceil
+    lm_shard = np.minimum(np.arange(num_l) // max(base, 1), S - 1) if num_l else np.zeros(0, int)
+    lm_local = (np.arange(num_l) - lm_shard * base).astype(np.int64) if num_l else np.zeros(0, int)
+    per_shard_active = np.bincount(lm_shard, minlength=S) if num_l else np.zeros(S, int)
+    lm_pad_active = int(per_shard_active.max()) if num_l else 0
+    # fixed landmarks appended (replicated) after the active block
+    lm_pad = max(lm_pad_active + n_fixed_l, 1)
+
+    # local Xws per shard
+    Xws_s = np.zeros((S, lm_pad, 3))
+    for sh in range(S):
+        sel = np.where(lm_shard == sh)[0]
+        Xws_s[sh, : sel.size] = s.Xws[sel]
+        if n_fixed_l:
+            Xws_s[sh, lm_pad_active : lm_pad_active + n_fixed_l] = s.Xws[num_l:]
+
+    def lm_to_local(gl):
+        """Global landmark index -> (shard, local)."""
+        gl = np.asarray(gl, np.int64)
+        is_fixed = gl >= num_l
+        sh = np.where(is_fixed, 0, lm_shard[np.minimum(gl, max(num_l - 1, 0))])
+        loc = np.where(
+            is_fixed,
+            lm_pad_active + (gl - num_l),
+            lm_local[np.minimum(gl, max(num_l - 1, 0))],
+        )
+        return sh, loc
+
+    # --- regroup edges by shard; fixed-landmark edges go to the pose? ----
+    # every edge references exactly one landmark; edges on fixed landmarks
+    # are assigned to shard 0 is WRONG for Hpp balance but correct math —
+    # they are assigned to the shard where the (replicated) fixed landmark
+    # lives locally: shard (edge_id % S) for load balance.
+    def split_edges(ea, combined_offset):
+        E = ea.count
+        gl = ea.lm_idx.astype(np.int64)
+        sh, loc = lm_to_local(gl)
+        is_fixed = gl >= num_l
+        if E:
+            sh = np.where(is_fixed, np.arange(E) % S, sh)  # balance fixed-lm edges
+        counts = np.bincount(sh, minlength=S) if E else np.zeros(S, int)
+        Epad = max(int(counts.max()), 1)
+        meas = np.zeros((S, Epad, ea.measurements.shape[1]))
+        omega = np.zeros((S, Epad))
+        pidx = np.zeros((S, Epad), np.int32)
+        lidx = np.zeros((S, Epad), np.int32)
+        e2h = np.zeros((S, Epad), np.int32)
+        src_rows = []  # (shard, slot) -> combined edge id, for chi2 queries
+        for shd in range(S):
+            sel = np.where(sh == shd)[0]
+            meas[shd, : sel.size] = ea.measurements[sel]
+            omega[shd, : sel.size] = ea.omegas[sel]
+            pidx[shd, : sel.size] = ea.pose_idx[sel]
+            lidx[shd, : sel.size] = loc[sel]
+            e2h[shd, : sel.size] = s.edge2hpl[sel + combined_offset]
+            src_rows.append(sel + combined_offset)
+        return meas, omega, pidx, lidx, e2h, src_rows
+
+    m_meas, m_om, m_pi, m_li, m_e2h, _ = split_edges(s.mono, 0)
+    t_meas, t_om, t_pi, t_li, t_e2h, _ = split_edges(s.stereo, s.mono.count)
+
+    # --- regroup Hpl slots and triplets by owning shard -------------------
+    slot_sh = lm_shard[s.hpl_col] if s.n_hpl else np.zeros(0, int)
+    slot_counts = np.bincount(slot_sh, minlength=S) if s.n_hpl else np.zeros(S, int)
+    Hpad = max(int(slot_counts.max()), 1)
+    hpl_row_s = np.zeros((S, Hpad), np.int32)
+    hpl_col_s = np.zeros((S, Hpad), np.int32)
+    slot_remap = np.zeros(s.n_hpl + 1, np.int32)  # global slot -> local, pad -> Hpad
+    slot_remap[s.n_hpl] = Hpad
+    for sh in range(S):
+        sel = np.where(slot_sh == sh)[0]
+        hpl_row_s[sh, : sel.size] = s.hpl_row[sel]
+        hpl_col_s[sh, : sel.size] = lm_local[s.hpl_col[sel]]
+        slot_remap[sel] = np.arange(sel.size, dtype=np.int32)
+    # remap edge2hpl (stored above as global ids) to local ids
+    m_e2h = slot_remap[np.minimum(m_e2h, s.n_hpl)]
+    t_e2h = slot_remap[np.minimum(t_e2h, s.n_hpl)]
+
+    trip_sh = slot_sh[s.mul_i] if s.n_mul else np.zeros(0, int)
+    trip_counts = np.bincount(trip_sh, minlength=S) if s.n_mul else np.zeros(S, int)
+    Mpad = max(int(trip_counts.max()), 1)
+    mul_i_s = np.full((S, Mpad), Hpad, np.int32)  # pad -> zero W slot
+    mul_j_s = np.full((S, Mpad), Hpad, np.int32)
+    mul_r_s = np.zeros((S, Mpad), np.int32)
+    mul_c_s = np.zeros((S, Mpad), np.int32)
+    for sh in range(S):
+        sel = np.where(trip_sh == sh)[0]
+        mul_i_s[sh, : sel.size] = slot_remap[s.mul_i[sel]]
+        mul_j_s[sh, : sel.size] = slot_remap[s.mul_j[sel]]
+        mul_r_s[sh, : sel.size] = s.hsc_row[s.mul_k[sel]]
+        mul_c_s[sh, : sel.size] = s.hsc_col[s.mul_k[sel]]
+
+    dt = dtype
+    consts = ShardedConsts(
+        cams=jnp.asarray(s.cams, dt),
+        mono=EdgeConsts(
+            meas=jnp.asarray(m_meas, dt),
+            omega=jnp.asarray(m_om, dt),
+            pose_idx=jnp.asarray(m_pi),
+            lm_idx=jnp.asarray(m_li),
+            edge2hpl=jnp.asarray(m_e2h),
+        ),
+        stereo=EdgeConsts(
+            meas=jnp.asarray(t_meas, dt),
+            omega=jnp.asarray(t_om, dt),
+            pose_idx=jnp.asarray(t_pi),
+            lm_idx=jnp.asarray(t_li),
+            edge2hpl=jnp.asarray(t_e2h),
+        ),
+        hpl_row=jnp.asarray(hpl_row_s),
+        hpl_col=jnp.asarray(hpl_col_s),
+        mul_i=jnp.asarray(mul_i_s),
+        mul_j=jnp.asarray(mul_j_s),
+        mul_r=jnp.asarray(mul_r_s),
+        mul_c=jnp.asarray(mul_c_s),
+        lm_count=jnp.asarray(per_shard_active, jnp.int32),
+    )
+    return ShardedProblem(
+        structure=s,
+        n_shards=S,
+        lm_pad=lm_pad,
+        consts=consts,
+        qs=jnp.asarray(s.qs, dt),
+        ts=jnp.asarray(s.ts, dt),
+        Xws=jnp.asarray(Xws_s, dt),
+        lm_shard=lm_shard,
+        lm_local=lm_local,
+    )
+
+
+class MultiChipEngine:
+    """Fused multi-chip LM over a 1-D landmark mesh."""
+
+    def __init__(self, structure: BAStructure, kernels, config: BAConfig, mesh: Mesh):
+        if AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have axis '{AXIS}'")
+        self.mesh = mesh
+        self.config = config
+        self.dtype = config.resolve_dtype()
+        self.chi_dtype = config.resolve_chi_dtype()
+        self.kernels = tuple((int(k[0]), float(k[1])) for k in kernels)
+        self.structure = structure
+        self.num_p = structure.num_p
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.problem = shard_problem(structure, n_dev, self.dtype)
+        # pad dense reduced system to whole MXU tiles (6*PB multiple of 384)
+        self.pad_blocks = max(((self.num_p + 63) // 64) * 64, 64)
+        self._jit_cache = {}
+
+    # --- shard-local math --------------------------------------------------
+
+    def _local_chi_and_terms(self, qs, ts, Xws_l, c: ShardedConsts):
+        """Per-shard residuals + chi part.  Padded edges have omega=0."""
+        out = {}
+        chi = jnp.zeros((), self.chi_dtype)
+        for name, ec, mdim, kern in (
+            ("mono", c.mono, 2, self.kernels[0]),
+            ("stereo", c.stereo, 3, self.kernels[1]),
+        ):
+            err, Xc = assembly.edge_residuals(qs, ts, c.cams, Xws_l, ec, mdim)
+            x = ec.omega * jnp.sum(err * err, axis=-1)
+            rho = robust.robustify(x, kern[0], kern[1])
+            # padded edges: omega=0 -> x=0 -> rho(0)=0 for all kernel types
+            chi = chi + jnp.sum(rho.astype(self.chi_dtype))
+            out[name] = (err, Xc)
+        return out, chi
+
+    def _make_lm_run(self, niterations: int):
+        cfg = self.config
+        dt = self.dtype
+        maxq = cfg.max_inner_iterations
+        num_p = self.num_p
+        num_l_pad = self.problem.lm_pad
+        PB = self.pad_blocks
+        n_hpl_pad = int(self.problem.consts.hpl_row.shape[1])
+        kernels = self.kernels
+
+        def shard_body(qs, ts, Xws_l, cams, mono, stereo, hpl_row, hpl_col,
+                       mul_i, mul_j, mul_r, mul_c, lm_count):
+            # squeeze the leading shard axis shard_map leaves on sharded args
+            (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_r,
+             mul_c, lm_count) = jax.tree.map(
+                lambda a: a[0],
+                (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_r,
+                 mul_c, lm_count),
+            )
+            c = ShardedConsts(cams, mono, stereo, hpl_row, hpl_col,
+                              mul_i, mul_j, mul_r, mul_c, lm_count)
+            # mask for locally-owned ACTIVE landmarks (excludes pad + fixed)
+            lm_active = (jnp.arange(num_l_pad) < lm_count)[:, None]
+
+            def chi_global(qs_, ts_, Xws_):
+                _, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
+                return jax.lax.psum(chi, AXIS)
+
+            def build(qs_, ts_, Xws_):
+                terms, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
+                chi = jax.lax.psum(chi, AXIS)
+                err2, Xc2 = terms["mono"]
+                err3, Xc3 = terms["stereo"]
+                Hpp, bp, Hll, bl, Hpl = assembly.build_system(
+                    qs_, cams, num_p, num_l_pad, n_hpl_pad,
+                    c.mono, c.stereo, err2, Xc2, err3, Xc3, kernels,
+                )
+                Hpp = jax.lax.psum(Hpp, AXIS)
+                bp = jax.lax.psum(bp, AXIS)
+                return chi, Hpp, bp, Hll, bl, Hpl
+
+            def solve(Hpp, bp, Hll, bl, Hpl, lam):
+                Hpp_d = assembly.damp(Hpp, lam)
+                # only damp owned active landmarks; padded rows get identity
+                Hll_d = assembly.damp(Hll, lam)
+                eye3 = jnp.eye(3, dtype=dt)
+                Hll_d = jnp.where(lm_active[:, :, None], Hll_d, eye3)
+                invHll = smallmat.sym3x3_inv(Hll_d)
+                W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col])
+                Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col])
+                bsc_local = -jax.ops.segment_sum(Wbl, hpl_row, num_segments=num_p)
+                # triplet products into a local dense image, then all-reduce
+                prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
+                                  Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)])
+                pad_t = (mul_i >= n_hpl_pad)[:, None, None]
+                prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
+                D = jnp.zeros((PB, 6, PB, 6), dt)
+                D = D.at[mul_r, :, mul_c, :].add(-prod)
+                off = (mul_r != mul_c)[:, None, None] & ~pad_t
+                D = D.at[mul_c, :, mul_r, :].add(
+                    jnp.where(off, -jnp.swapaxes(prod, -1, -2), jnp.zeros_like(prod))
+                )
+                # all-reduce the sparse contributions + bp/bsc
+                D = jax.lax.psum(D, AXIS)
+                bsc = bp + jax.lax.psum(bsc_local, AXIS)
+                # replicated: add damped Hpp to diagonal + identity padding
+                diag = jnp.arange(num_p)
+                D = D.at[diag, :, diag, :].add(Hpp_d)
+                n = 6 * PB
+                Dm = D.reshape(n, n) + jnp.diag(
+                    jnp.concatenate([jnp.zeros(6 * num_p, dt), jnp.ones(n - 6 * num_p, dt)])
+                )
+                rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(bsc.reshape(-1))
+                refine = cfg.refinement_steps if dt == jnp.float32 else 0
+                x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+                xp = x[: 6 * num_p].reshape(num_p, 6)
+                # local back-substitution
+                contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row])
+                cl = bl - jax.ops.segment_sum(contrib, hpl_col, num_segments=num_l_pad)
+                xl = jnp.einsum("kij,kj->ki", invHll, cl)
+                xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
+                return xp, xl, ok, bsc
+
+            def outer_cond(carry):
+                it, done = carry[0], carry[-1]
+                return (it < niterations) & ~done
+
+            def outer_body(carry):
+                it, qs0, ts0, Xw0, lam, nu, chis, done = carry
+
+                F_chi, Hpp, bp, Hll, bl, Hpl = build(qs0, ts0, Xw0)
+                F = F_chi.astype(dt)
+                maxd = jnp.maximum(
+                    jnp.max(jnp.diagonal(Hpp, axis1=-2, axis2=-1)),
+                    jax.lax.pmax(
+                        jnp.max(
+                            jnp.where(
+                                lm_active,
+                                jnp.diagonal(Hll, axis1=-2, axis2=-1),
+                                jnp.zeros_like(bl),
+                            )
+                        ),
+                        AXIS,
+                    ),
+                )
+                lam = jnp.where(it == 0, dt.type(cfg.tau) * jnp.maximum(maxd, 0), lam)
+
+                def inner_cond(cc):
+                    return (cc[0] < maxq) & (cc[1] < 0)
+
+                def inner_body(cc):
+                    q, _, lam_c, nu_c, _, Fc = cc
+                    xp, xl, ok, _ = solve(Hpp, bp, Hll, bl, Hpl, lam_c)
+                    qn, tn = se3.update_pose(xp, qs0[:num_p], ts0[:num_p])
+                    qs1 = qs0.at[:num_p].set(qn)
+                    ts1 = ts0.at[:num_p].set(tn)
+                    Xw1 = Xw0 + xl
+                    Fhat = chi_global(qs1, ts1, Xw1).astype(dt)
+                    sc_local = jnp.sum(xl * (lam_c * xl + bl))
+                    scale = (
+                        jnp.sum(xp * (lam_c * xp + bp))
+                        + jax.lax.psum(sc_local, AXIS)
+                        + dt.type(cfg.scale_eps)
+                    )
+                    rho = jnp.where(ok, (F - Fhat) / scale, dt.type(-1.0))
+                    accept = rho > 0
+                    att = jnp.clip(
+                        1.0 - (2.0 * rho - 1.0) ** 3, cfg.attenuation_min, cfg.attenuation_max
+                    )
+                    lam_n = jnp.where(accept, lam_c * att, lam_c * nu_c)
+                    nu_n = jnp.where(accept, dt.type(2.0), nu_c * 2.0)
+                    st_n = jax.tree.map(
+                        lambda a, b: jnp.where(accept, a, b), (qs1, ts1, Xw1), (qs0, ts0, Xw0)
+                    )
+                    return (q + 1, rho, lam_n, nu_n, st_n, jnp.where(accept, Fhat, Fc))
+
+                init = (jnp.int32(0), dt.type(-1.0), lam, nu, (qs0, ts0, Xw0), F)
+                q, rho, lam, nu, (qs1, ts1, Xw1), F = jax.lax.while_loop(
+                    inner_cond, inner_body, init
+                )
+                chis = chis.at[it].set(F.astype(self.chi_dtype))
+                done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
+                return (it + 1, qs1, ts1, Xw1, lam, nu, chis, done)
+
+            init = (
+                jnp.int32(0), qs, ts, Xws_l,
+                dt.type(0.0), dt.type(2.0),
+                jnp.zeros((niterations,), self.chi_dtype), jnp.bool_(False),
+            )
+            it, qs_f, ts_f, Xw_f, lam, nu, chis, done = jax.lax.while_loop(
+                outer_cond, outer_body, init
+            )
+            return qs_f, ts_f, Xw_f[None], chis, it
+
+        sharded = P(AXIS)
+        rep = P()
+        in_specs = (
+            rep, rep, sharded, rep,
+            EdgeConsts(sharded, sharded, sharded, sharded, sharded),
+            EdgeConsts(sharded, sharded, sharded, sharded, sharded),
+            sharded, sharded, sharded, sharded, sharded, sharded, sharded,
+        )
+        out_specs = (rep, rep, sharded, rep, rep)
+
+        def run(qs, ts, Xws_s, c: ShardedConsts):
+            return shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )(qs, ts, Xws_s, c.cams, c.mono, c.stereo, c.hpl_row, c.hpl_col,
+              c.mul_i, c.mul_j, c.mul_r, c.mul_c, c.lm_count)
+
+        return run
+
+    def optimize(self, niterations: int):
+        key = ("mlm", niterations)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._make_lm_run(niterations))
+        p = self.problem
+        qs, ts, Xws_s, chis, it = self._jit_cache[key](p.qs, p.ts, p.Xws, p.consts)
+        p.qs, p.ts, p.Xws = qs, ts, Xws_s
+        return np.asarray(chis)[: int(it)], qs, ts, Xws_s
+
+    def gathered_landmarks(self) -> np.ndarray:
+        """[num_l, 3] active landmark estimates in global order."""
+        Xws = np.asarray(self.problem.Xws)
+        return Xws[self.problem.lm_shard, self.problem.lm_local]

@@ -26,7 +26,7 @@ import numpy as np
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.ops import se3, smallmat
-from cuba_tpu.solver import assembly, dense_cholesky, schur
+from cuba_tpu.solver import assembly, dense_cholesky, pcg, schur
 from cuba_tpu.solver.assembly import EdgeConsts
 from cuba_tpu.solver.schur import SchurConsts
 from cuba_tpu.solver.structure import BAStructure
@@ -166,14 +166,21 @@ class BlockSolverEngine:
         if s.optimize_p and s.optimize_l:
             Hpp_d = assembly.damp(Hpp, lam)
             Hll_d = assembly.damp(Hll, lam)
-            Dm, bsc, invHll = schur.reduce_system(
-                Hpp_d, bp, Hll_d, bl, Hpl, consts.sc, self.num_p, self.pad_blocks
-            )
-            n = 6 * self.pad_blocks
-            rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bsc.reshape(-1))
-            refine = self.config.refinement_steps if dt == jnp.float32 else 0
-            x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
-            xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
+            invHll, W, bsc = schur.prepare_factors(bp, Hll_d, bl, Hpl, consts.sc, self.num_p)
+            if self.config.solver == "pcg":
+                op = pcg.SchurOperator(
+                    Hpp_d, Hpl, W, consts.sc.hpl_row, consts.sc.hpl_col, self.num_p, self.num_l
+                )
+                xp, ok = pcg.pcg_solve(
+                    op, bsc, self.config.pcg_max_iterations, self.config.pcg_tol
+                )
+            else:
+                Dm = schur.assemble_dense(Hpp_d, W, Hpl, consts.sc, self.num_p, self.pad_blocks)
+                n = 6 * self.pad_blocks
+                rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bsc.reshape(-1))
+                refine = self.config.refinement_steps if dt == jnp.float32 else 0
+                x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+                xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
             xl = schur.back_substitute(invHll, bl, Hpl, xp, consts.sc, self.num_l)
             return xp, xl, ok
         if s.optimize_p:

@@ -30,36 +30,42 @@ class SchurConsts(NamedTuple):
     mul_k: jnp.ndarray  # [n_mul]
 
 
-def reduce_system(
-    Hpp_d: jnp.ndarray,  # damped [P,6,6]
+def prepare_factors(
     bp: jnp.ndarray,  # [P,6]
     Hll_d: jnp.ndarray,  # damped [L,3,3]
     bl: jnp.ndarray,  # [L,3]
     Hpl: jnp.ndarray,  # [n_hpl,6,3]
     sc: SchurConsts,
     num_p: int,
-    pad_blocks: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Form the dense padded Schur system.
-
-    Returns (Hsc_dense [6*PB, 6*PB], bsc [P,6], invHll [L,3,3]) where
-    PB = pad_blocks >= num_p and the padded diagonal is identity, keeping the
-    matrix SPD.  Hsc = Hpp - Hpl Hll^-1 Hpl^T;  bsc = bp - Hpl Hll^-1 bl.
-    """
-    dtype = bp.dtype
+    """Shared Schur factors: (invHll [L,3,3], W = Hpl invHll [n_hpl,6,3],
+    bsc = bp - W bl [P,6]).  Equivalent of computeBschureKernel (cu:933-953)."""
     invHll = smallmat.sym3x3_inv(Hll_d)
-
-    # W = Hpl * invHll per slot (cu:949), then bsc (cu:950, bsc preinit = bp)
     W = jnp.einsum("kij,kjl->kil", Hpl, invHll[sc.hpl_col])
     Wbl = jnp.einsum("kij,kj->ki", W, bl[sc.hpl_col])
     bsc = bp - jax.ops.segment_sum(Wbl, sc.hpl_row, num_segments=num_p)
+    return invHll, W, bsc
 
-    # Hsc blocks: per triplet W[i] @ Hpl[j]^T, reduced by target block (cu:964-977)
+
+def assemble_dense(
+    Hpp_d: jnp.ndarray,  # damped [P,6,6]
+    W: jnp.ndarray,  # [n_hpl,6,3]
+    Hpl: jnp.ndarray,  # [n_hpl,6,3]
+    sc: SchurConsts,
+    num_p: int,
+    pad_blocks: int,
+) -> jnp.ndarray:
+    """Dense padded Schur matrix [6*PB, 6*PB], identity on padded diagonal.
+
+    Hsc = Hpp_d - sum_t W[i] Hpl[j]^T scattered at pose pair (r,c) and its
+    mirror — the segment_sum over mul-triplets replaces computeHschureKernel's
+    atomic DEACCUM (cu:964-977).
+    """
+    dtype = Hpp_d.dtype
     n_hsc = sc.hsc_row.shape[0]
     prod = jnp.einsum("tik,tjk->tij", W[sc.mul_i], Hpl[sc.mul_j])
     blocks = jax.ops.segment_sum(prod, sc.mul_k, num_segments=n_hsc)
 
-    # dense scatter: diag Hpp, off-diag -blocks and mirrored transpose
     D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
     diag = jnp.arange(num_p)
     D = D.at[diag, :, diag, :].add(Hpp_d)
@@ -70,12 +76,8 @@ def reduce_system(
 
     n = 6 * pad_blocks
     Dm = D.reshape(n, n)
-    # identity on the padded diagonal
-    pad_diag = jnp.concatenate(
-        [jnp.zeros(6 * num_p, dtype), jnp.ones(n - 6 * num_p, dtype)]
-    )
-    Dm = Dm + jnp.diag(pad_diag)
-    return Dm, bsc, invHll
+    pad_diag = jnp.concatenate([jnp.zeros(6 * num_p, dtype), jnp.ones(n - 6 * num_p, dtype)])
+    return Dm + jnp.diag(pad_diag)
 
 
 def back_substitute(

@@ -131,6 +131,74 @@ def _pair_expand(col_ptr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return i_idx, j_idx
 
 
+def build_structure_from_arrays(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    cams: np.ndarray,
+    Xws: np.ndarray,
+    fixed_pose_mask: np.ndarray,
+    fixed_lm_mask: np.ndarray,
+    mono_p: np.ndarray,
+    mono_l: np.ndarray,
+    mono_z: np.ndarray,
+    mono_w: np.ndarray,
+    stereo_p: np.ndarray,
+    stereo_l: np.ndarray,
+    stereo_z: np.ndarray,
+    stereo_w: np.ndarray,
+) -> BAStructure:
+    """Array fast path: compile a problem given SoA arrays directly, skipping
+    the per-object graph (used by benchmarks and large synthetic runs where
+    building 500k+ Python edge objects would dominate).
+
+    Semantics match build_structure: active vertices first in index order,
+    fixed appended after; both-fixed edges dropped.  Vertices with no edges
+    are kept (they simply have empty rows) — unlike the object path — so
+    callers should pass only referenced vertices for exact reference parity.
+    """
+    nP, nL = qs.shape[0], Xws.shape[0]
+    fixed_pose_mask = np.asarray(fixed_pose_mask, bool)
+    fixed_lm_mask = np.asarray(fixed_lm_mask, bool)
+
+    # internal index: active first (stable in id order), fixed after
+    def perm_of(fixed_mask):
+        order = np.concatenate([np.where(~fixed_mask)[0], np.where(fixed_mask)[0]])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        return order, inv
+
+    p_order, p_inv = perm_of(fixed_pose_mask)
+    l_order, l_inv = perm_of(fixed_lm_mask)
+    num_p = int((~fixed_pose_mask).sum())
+    num_l = int((~fixed_lm_mask).sum())
+
+    def gather(ep, el, ez, ew, mdim):
+        ep = np.asarray(ep, np.int64)
+        el = np.asarray(el, np.int64)
+        keep = ~(fixed_pose_mask[ep] & fixed_lm_mask[el])
+        return EdgeArrays(
+            np.asarray(ez, np.float64).reshape(-1, mdim)[keep],
+            np.asarray(ew, np.float64)[keep],
+            p_inv[ep[keep]].astype(np.int32),
+            l_inv[el[keep]].astype(np.int32),
+        )
+
+    mono = gather(mono_p, mono_l, mono_z, mono_w, 2)
+    stereo = gather(stereo_p, stereo_l, stereo_z, stereo_w, 3)
+    return _finish_structure(
+        num_p,
+        num_l,
+        nP,
+        nL,
+        np.asarray(qs, np.float64)[p_order],
+        np.asarray(ts, np.float64)[p_order],
+        np.asarray(cams, np.float64)[p_order],
+        np.asarray(Xws, np.float64)[l_order],
+        mono,
+        stereo,
+    )
+
+
 def build_structure(
     pose_ids_sorted: List[int],
     poses: Dict[int, "object"],
@@ -198,7 +266,22 @@ def build_structure(
 
     mono = gather(mono_edges, 2)
     stereo = gather(stereo_edges, 3)
+    return _finish_structure(num_p, num_l, total_p, total_l, qs, ts, cams, Xws, mono, stereo)
 
+
+def _finish_structure(
+    num_p: int,
+    num_l: int,
+    total_p: int,
+    total_l: int,
+    qs: np.ndarray,
+    ts: np.ndarray,
+    cams: np.ndarray,
+    Xws: np.ndarray,
+    mono: EdgeArrays,
+    stereo: EdgeArrays,
+) -> BAStructure:
+    """Shared symbolic pass: Hpl CSC, Hsc pattern, Schur mul-triplets."""
     # --- Hpl block-CSC (deduplicated) ------------------------------------
     e_pi = np.concatenate([mono.pose_idx, stereo.pose_idx])
     e_li = np.concatenate([mono.lm_idx, stereo.lm_idx])

@@ -4,13 +4,15 @@ for the reference, reference: samples/sample_comparison_with_g2o.cpp)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# force CPU: the session env presets JAX_PLATFORMS=axon (the TPU tunnel) and
+# the axon plugin wins over the env var — the config update does not.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,63 @@
+"""Multi-chip (landmark-sharded) engine vs single-chip engine parity, on a
+virtual 8-device CPU mesh (conftest sets xla_force_host_platform_device_count)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cuba_tpu import BAConfig, EdgeType, RobustKernelType
+from cuba_tpu.io import synthetic
+from cuba_tpu.parallel.sharding import AXIS, MultiChipEngine
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_multichip_matches_single_chip(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip(f"need {ndev} devices")
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    ba = synthetic.build_graph(prob)
+    ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba.initialize()
+    ba.optimize(5)
+    chis_single = np.array([s.chi2 for s in ba.batch_statistics()])
+
+    # fresh graph (initialize() mutates vertex state after optimize)
+    ba2 = synthetic.build_graph(prob)
+    ba2.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba2.initialize()
+    mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+    eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, BAConfig(), mesh)
+    chis_multi, qs, ts, _ = eng.optimize(5)
+
+    n = min(len(chis_single), len(chis_multi))
+    assert n >= 3
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))
+
+    # landmark estimates match in global order
+    s = ba2._engine.structure
+    Xw_multi = eng.gathered_landmarks()
+    Xw_single = np.asarray(ba._state.Xws)[: s.num_l]
+    np.testing.assert_allclose(Xw_multi, Xw_single, atol=1e-7)
+
+
+def test_multichip_with_fixed_landmarks():
+    prob = synthetic.generate(num_poses=6, num_landmarks=48, seed=17)
+    ba = synthetic.build_graph(prob)
+    for j in range(0, 48, 5):
+        ba.landmark_vertex(j).fixed = True
+    ba.initialize()
+    ba.optimize(4)
+    chis_single = np.array([s.chi2 for s in ba.batch_statistics()])
+
+    ba2 = synthetic.build_graph(prob)
+    for j in range(0, 48, 5):
+        ba2.landmark_vertex(j).fixed = True
+    ba2.initialize()
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, BAConfig(), mesh)
+    chis_multi, _, _, _ = eng.optimize(4)
+    n = min(len(chis_single), len(chis_multi))
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))

@@ -1,0 +1,159 @@
+"""Unit tests for the problem compiler (symbolic pass): index assignment,
+edge gathering, Hpl CSC pattern, Hsc co-observation pattern, mul triplets.
+Reference semantics: src/cuda_bundle_adjustment.cpp:115-261 (partition +
+gather), sparse_block_matrix.cpp:55-133 (Hsc pattern)."""
+
+import numpy as np
+import pytest
+
+from cuba_tpu.models.types import CameraParams, LandmarkVertex, MonoEdge, PoseVertex, StereoEdge
+from cuba_tpu.models.graph import BundleAdjustment
+from cuba_tpu.solver.structure import build_structure, build_structure_from_arrays
+
+
+def tiny_graph():
+    cam = CameraParams(700, 700, 320, 240, 100)
+    ba = BundleAdjustment()
+    # pose ids deliberately out of order; pose 5 fixed
+    for pid, fixed in ((5, True), (2, False), (9, False)):
+        ba.add_pose_vertex(PoseVertex(pid, [0, 0, 0, 1], [pid, 0, 0], cam, fixed))
+    # landmark 3 fixed
+    for lid, fixed in ((3, True), (1, False), (7, False), (4, False)):
+        ba.add_landmark_vertex(LandmarkVertex(lid, [lid, 0, 5], fixed))
+    P, L = ba.pose_vertex, ba.landmark_vertex
+    edges = [
+        MonoEdge([1, 2], 1.0, P(2), L(1)),
+        MonoEdge([3, 4], 2.0, P(9), L(1)),
+        MonoEdge([5, 6], 3.0, P(2), L(7)),
+        MonoEdge([0, 0], 9.0, P(5), L(3)),  # both fixed -> dropped
+        StereoEdge([7, 8, 9], 4.0, P(9), L(4)),
+        StereoEdge([1, 1, 1], 5.0, P(5), L(4)),  # fixed pose, free lm -> kept
+        MonoEdge([2, 2], 6.0, P(2), L(3)),  # free pose, fixed lm -> kept
+    ]
+    for e in edges:
+        if e.dim() == 2:
+            ba.add_monocular_edge(e)
+        else:
+            ba.add_stereo_edge(e)
+    return ba
+
+
+def compiled(ba):
+    return build_structure(
+        sorted(ba._poses), ba._poses, sorted(ba._landmarks), ba._landmarks,
+        ba._mono_edges, ba._stereo_edges,
+    )
+
+
+class TestStructure:
+    def test_partition_active_first(self):
+        s = compiled(tiny_graph())
+        assert (s.num_p, s.total_p) == (2, 3)  # poses 2,9 active; 5 fixed
+        assert (s.num_l, s.total_l) == (3, 4)  # lms 1,4,7 active; 3 fixed
+        # active in ascending id order: pose 2 -> iP 0, pose 9 -> iP 1, pose 5 -> iP 2
+        np.testing.assert_array_equal(s.ts[:, 0], [2, 9, 5])
+        # landmarks: 1->0, 4->1, 7->2, 3->3
+        np.testing.assert_array_equal(s.Xws[:, 0], [1, 4, 7, 3])
+
+    def test_edge_gather_drops_both_fixed(self):
+        s = compiled(tiny_graph())
+        assert s.mono.count == 4  # one mono edge dropped
+        assert s.stereo.count == 2
+        # mono omegas in insertion order minus the dropped one
+        np.testing.assert_array_equal(s.mono.omegas, [1, 2, 3, 6])
+
+    def test_hpl_pattern(self):
+        s = compiled(tiny_graph())
+        # both-free pairs: (p2,l1)=(0,0), (p9,l1)=(1,0), (p2,l7)=(0,2), (p9,l4)=(1,1)
+        assert s.n_hpl == 4
+        # sorted by (col, row)
+        np.testing.assert_array_equal(s.hpl_col, [0, 0, 1, 2])
+        np.testing.assert_array_equal(s.hpl_row, [0, 1, 1, 0])
+        # edge2hpl: mono edges 0..3 then stereo 4..5
+        e2h = s.edge2hpl
+        assert e2h[0] == 0 and e2h[1] == 1 and e2h[2] == 3
+        assert e2h[3] == s.n_hpl  # fixed-lm edge: no slot
+        assert e2h[4] == 2
+        assert e2h[5] == s.n_hpl  # fixed-pose edge: no slot
+
+    def test_hsc_pattern_and_triplets(self):
+        s = compiled(tiny_graph())
+        # lm col 0 seen by poses {0,1} -> pairs (0,0),(0,1),(1,1)
+        # lm col 1 seen by {1} -> (1,1); lm col 2 by {0} -> (0,0)
+        assert s.n_hsc == 3
+        np.testing.assert_array_equal(s.hsc_row, [0, 0, 1])
+        np.testing.assert_array_equal(s.hsc_col, [0, 1, 1])
+        assert s.n_mul == 5
+        # triplets sorted by k; row(i) <= row(j) within each
+        assert np.all(s.mul_k[:-1] <= s.mul_k[1:])
+        np.testing.assert_array_equal(s.hpl_col[s.mul_i], s.hpl_col[s.mul_j])
+        assert np.all(s.hpl_row[s.mul_i] == s.hsc_row[s.mul_k])
+        assert np.all(s.hpl_row[s.mul_j] == s.hsc_col[s.mul_k])
+
+    def test_duplicate_pose_landmark_pair_shares_slot(self):
+        cam = CameraParams(700, 700, 320, 240, 100)
+        ba = BundleAdjustment()
+        ba.add_pose_vertex(PoseVertex(0, [0, 0, 0, 1], [0, 0, 0], cam))
+        ba.add_landmark_vertex(LandmarkVertex(0, [0, 0, 5]))
+        P, L = ba.pose_vertex(0), ba.landmark_vertex(0)
+        ba.add_monocular_edge(MonoEdge([1, 1], 1.0, P, L))
+        ba.add_stereo_edge(StereoEdge([1, 1, 1], 1.0, P, L))
+        s = compiled(ba)
+        assert s.n_hpl == 1  # deduplicated
+        assert s.edge2hpl[0] == 0 and s.edge2hpl[1] == 0
+
+    def test_from_arrays_matches_object_path(self):
+        ba = tiny_graph()
+        s1 = compiled(ba)
+        # reconstruct via arrays (ids 2,5,9 -> order by id: [2,5,9])
+        pose_ids = sorted(ba._poses)
+        lm_ids = sorted(ba._landmarks)
+        pid_to_idx = {p: i for i, p in enumerate(pose_ids)}
+        lid_to_idx = {l: i for i, l in enumerate(lm_ids)}
+        qs = np.stack([ba.pose_vertex(p).q for p in pose_ids])
+        ts = np.stack([ba.pose_vertex(p).t for p in pose_ids])
+        cams = np.stack([ba.pose_vertex(p).camera.to_array() for p in pose_ids])
+        Xws = np.stack([ba.landmark_vertex(l).Xw for l in lm_ids])
+        fp = np.array([ba.pose_vertex(p).fixed for p in pose_ids])
+        fl = np.array([ba.landmark_vertex(l).fixed for l in lm_ids])
+        m = ba._mono_edges
+        st = ba._stereo_edges
+        s2 = build_structure_from_arrays(
+            qs, ts, cams, Xws, fp, fl,
+            [pid_to_idx[e.vertexP.id] for e in m],
+            [lid_to_idx[e.vertexL.id] for e in m],
+            [e.measurement for e in m],
+            [e.information for e in m],
+            [pid_to_idx[e.vertexP.id] for e in st],
+            [lid_to_idx[e.vertexL.id] for e in st],
+            [e.measurement for e in st],
+            [e.information for e in st],
+        )
+        assert s1.shape_signature() == s2.shape_signature()
+        np.testing.assert_array_equal(s1.hpl_row, s2.hpl_row)
+        np.testing.assert_array_equal(s1.hpl_col, s2.hpl_col)
+        np.testing.assert_array_equal(s1.edge2hpl, s2.edge2hpl)
+        np.testing.assert_array_equal(s1.mul_k, s2.mul_k)
+        np.testing.assert_allclose(s1.qs, s2.qs)
+        np.testing.assert_allclose(s1.Xws, s2.Xws)
+        np.testing.assert_allclose(s1.mono.measurements, s2.mono.measurements)
+
+
+class TestJsonIO:
+    def test_roundtrip(self, tmp_path):
+        from cuba_tpu.io import json_io, synthetic
+
+        prob = synthetic.generate(num_poses=5, num_landmarks=20, seed=2)
+        ba = synthetic.build_graph(prob)
+        path = str(tmp_path / "g.json")
+        json_io.write_graph(ba, path)
+        ba2 = json_io.read_graph(path)
+        assert ba2.nposes() == ba.nposes()
+        assert ba2.nlandmarks() == ba.nlandmarks()
+        assert ba2.nedges() == ba.nedges()
+        s1 = compiled(ba)
+        s2 = compiled(ba2)
+        assert s1.shape_signature() == s2.shape_signature()
+        np.testing.assert_allclose(s1.qs, s2.qs)
+        np.testing.assert_allclose(s1.mono.measurements, s2.mono.measurements)
+        np.testing.assert_allclose(s1.stereo.omegas, s2.stereo.omegas)
