@@ -20,7 +20,8 @@ import time
 
 import numpy as np
 
-BASELINE_GPU_SECONDS = 1.23  # reference README.md:38, GTX 1080
+BASELINE_GPU_SECONDS = 1.23  # kitti_00, reference README.md:38, GTX 1080
+BASELINE_GPU_SECONDS_QUICK = 0.23  # kitti_07, reference README.md:37
 
 
 def main():
@@ -34,6 +35,13 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)  # fp64 chi accumulation
+    try:  # persistent compile cache: only speeds the untimed warm-up
+        import os
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from cuba_tpu.config import BAConfig
@@ -45,9 +53,11 @@ def main():
     if args.quick:
         n_poses, n_lms, mean_obs = 248, 26127, 3.6  # ba_kitti_07 scale
         name = "kitti07_scale"
+        baseline = BASELINE_GPU_SECONDS_QUICK
     else:
         n_poses, n_lms, mean_obs = 1322, 133383, 4.2  # ba_kitti_00 scale
         name = "kitti00_scale"
+        baseline = BASELINE_GPU_SECONDS
 
     t0 = time.perf_counter()
     prob = synthetic.generate(
@@ -109,7 +119,7 @@ def main():
                 "metric": f"{name}_ba_{args.iters}LM_iters_wall",
                 "value": round(elapsed, 4),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_GPU_SECONDS / elapsed, 3),
+                "vs_baseline": round(baseline / elapsed, 3),
             }
         )
     )

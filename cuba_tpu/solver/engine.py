@@ -46,6 +46,13 @@ PROFILE_ITEMS = (
 # full MXU lanes with whole 6x6 blocks
 _BLOCK_PAD = 64
 
+# Compiled functions cached by static spec (shapes/dtypes/config/kernels),
+# NOT by engine instance: re-initializing a same-shaped problem (the
+# reference's repeated `initialize(); optimize()` pattern,
+# samples/sample_ba_from_file.cpp:155-163) must not retrace.  jax.jit's own
+# per-aval cache handles differing array shapes under the same spec.
+_JIT_CACHE: Dict[tuple, object] = {}
+
 
 class State(NamedTuple):
     qs: jnp.ndarray  # [total_p, 4]
@@ -118,7 +125,31 @@ class BlockSolverEngine:
             ),
         )
 
-        self._jit_cache: Dict[str, object] = {}
+        # every value the jitted closures capture from `self`, hashable —
+        # engines with equal specs share compiled functions via _JIT_CACHE
+        cfg = config
+        self._spec = (
+            self.num_p,
+            self.num_l,
+            s.n_hpl,
+            s.mono.count,
+            s.stereo.count,
+            bool(s.optimize_p),
+            bool(s.optimize_l),
+            self.pad_blocks,
+            self.kernels,
+            str(self.dtype),
+            str(self.chi_dtype),
+            cfg.solver,
+            cfg.max_inner_iterations,
+            cfg.tau,
+            cfg.scale_eps,
+            cfg.attenuation_min,
+            cfg.attenuation_max,
+            cfg.refinement_steps,
+            cfg.pcg_max_iterations,
+            cfg.pcg_tol,
+        )
 
     # ------------------------------------------------------------------
     # building blocks (pure functions over (state, consts))
@@ -277,19 +308,20 @@ class BlockSolverEngine:
         return lm_run
 
     def optimize(self, state: State, niterations: int) -> LMResult:
-        key = ("lm_run", niterations)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._make_lm_run(niterations))
-        return self._jit_cache[key](state, self.consts)
+        key = ("lm_run", niterations) + self._spec
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(self._make_lm_run(niterations))
+        return _JIT_CACHE[key](state, self.consts)
 
     # ------------------------------------------------------------------
     # phase-split driver (host-stepped; produces the 8-phase TimeProfile)
     # ------------------------------------------------------------------
 
     def _get_jit(self, name, fn):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+        key = (name,) + self._spec
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(fn)
+        return _JIT_CACHE[key]
 
     def optimize_profiled(self, state: State, niterations: int):
         """Reference-equivalent LM loop stepped from the host with per-phase
