@@ -1,0 +1,137 @@
+"""Native (C++) host runtime for cuba_tpu.
+
+The reference implements its entire host runtime in C++17 (reference:
+src/cuda_bundle_adjustment.cpp, src/sparse_block_matrix.cpp); here the
+TPU numeric path is JAX/XLA but the once-per-initialize() symbolic
+"problem compiler" has a C++ implementation too, bound via ctypes.  The
+library is built on first use with g++ (no pybind11 dependency); if no
+toolchain is available the pure-NumPy path in solver/structure.py is used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "symbolic.cpp")
+_LIB_PATH = os.path.join(_HERE, "_libcuba_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _LIB_PATH,
+        _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ba_symbolic_compile.restype = ctypes.c_void_p
+    lib.ba_symbolic_compile.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    for name in ("ba_n_hpl", "ba_n_hsc", "ba_n_mul"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ba_lk_K.restype = ctypes.c_int32
+    lib.ba_lk_K.argtypes = [ctypes.c_void_p]
+    lib.ba_copy_hpl.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
+    lib.ba_copy_hsc.argtypes = [ctypes.c_void_p, i32p, i32p]
+    lib.ba_copy_mul.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
+    lib.ba_copy_lk.argtypes = [ctypes.c_void_p, i32p, i32p]
+    lib.ba_symbolic_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("CUBA_TPU_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+                _SRC
+            ):
+                if not _build():
+                    return None
+            _lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int):
+    """Run the C++ symbolic pass.  Returns the same tuple as the NumPy path:
+    (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
+    lk_K, lk_pose, edge2lk) — or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    e_pi = np.ascontiguousarray(e_pi, dtype=np.int32)
+    e_li = np.ascontiguousarray(e_li, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(i32p)
+
+    h = lib.ba_symbolic_compile(ptr(e_pi), ptr(e_li), e_pi.size, int(num_p), int(num_l))
+    try:
+        n_hpl = lib.ba_n_hpl(h)
+        n_hsc = lib.ba_n_hsc(h)
+        n_mul = lib.ba_n_mul(h)
+        K = lib.ba_lk_K(h)
+        hpl_row = np.empty(n_hpl, np.int32)
+        hpl_col = np.empty(n_hpl, np.int32)
+        edge2hpl = np.empty(e_pi.size, np.int32)
+        lib.ba_copy_hpl(h, ptr(hpl_row), ptr(hpl_col), ptr(edge2hpl))
+        hsc_row = np.empty(n_hsc, np.int32)
+        hsc_col = np.empty(n_hsc, np.int32)
+        lib.ba_copy_hsc(h, ptr(hsc_row), ptr(hsc_col))
+        mul_i = np.empty(n_mul, np.int32)
+        mul_j = np.empty(n_mul, np.int32)
+        mul_k = np.empty(n_mul, np.int32)
+        lib.ba_copy_mul(h, ptr(mul_i), ptr(mul_j), ptr(mul_k))
+        lk_pose = np.empty(num_l * K, np.int32)
+        edge2lk = np.empty(e_pi.size, np.int32)
+        lib.ba_copy_lk(h, ptr(lk_pose), ptr(edge2lk))
+    finally:
+        lib.ba_symbolic_free(h)
+    return (
+        hpl_row,
+        hpl_col,
+        edge2hpl,
+        hsc_row,
+        hsc_col,
+        mul_i,
+        mul_j,
+        mul_k,
+        int(K),
+        lk_pose,
+        edge2lk,
+    )

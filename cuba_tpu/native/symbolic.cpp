@@ -1,0 +1,213 @@
+// cuba_tpu native symbolic compiler.
+//
+// C++ counterpart of cuba_tpu/solver/structure.py::_finish_structure — the
+// host-side "problem compiler" that turns edge lists into the static index
+// structure consumed by the jitted TPU numeric path.  Plays the role of the
+// reference's host/GPU structural pass (reference:
+// src/cuda_block_solver.cu:1158-1173 buildHplStructure,
+// src/sparse_block_matrix.cpp:55-133 HschurSparseBlockMatrix, cu:979-1000
+// findHschureMulBlockIndices), but runs once on the host CPU: on TPU all
+// symbolic work happens at initialize() so the compiled step function sees
+// only static shapes.
+//
+// API style: one `ba_symbolic_compile` call returns an opaque handle owning
+// all result vectors; `ba_*` getters copy into caller buffers; free with
+// `ba_symbolic_free`.  Bound from Python via ctypes (no pybind11).
+//
+// Build: see cuba_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct SymbolicResult {
+  // Hpl block-CSC over deduplicated free (pose, landmark) pairs,
+  // sorted by (landmark col, pose row).
+  std::vector<int32_t> hpl_row;
+  std::vector<int32_t> hpl_col;
+  std::vector<int32_t> edge2hpl;  // slot per edge; n_hpl == "no slot"
+  // Hsc block pattern: unique upper-tri (r <= c) pose pairs, row-major.
+  std::vector<int32_t> hsc_row;
+  std::vector<int32_t> hsc_col;
+  // Schur multiplication triplets sorted by output block k.
+  std::vector<int32_t> mul_i;
+  std::vector<int32_t> mul_j;
+  std::vector<int32_t> mul_k;
+  // LK layout: per free landmark, its Hpl slots padded to K.
+  int32_t lk_K = 0;
+  std::vector<int32_t> lk_pose;  // [num_l * K], num_p where padded
+  std::vector<int32_t> edge2lk;  // [E], slot into [num_l*K]; num_l*K if none
+};
+
+}  // namespace
+
+extern "C" {
+
+// Compile the symbolic structure.
+//   e_pi / e_li : [n_edges] internal pose / landmark indices (active first;
+//                 fixed vertices have index >= num_p / num_l).  Edges with
+//                 both endpoints fixed must already be dropped.
+//   num_p / num_l : counts of ACTIVE poses / landmarks.
+// Returns an opaque handle (never null) — query sizes, copy, then free.
+void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
+                          int64_t n_edges, int32_t num_p, int32_t num_l) {
+  auto* res = new SymbolicResult();
+
+  // --- deduplicated free-pair slots, sorted by (landmark, pose) ----------
+  // counting-sort by landmark column, then sort+dedup rows per column.
+  std::vector<int64_t> free_edge_ids;
+  free_edge_ids.reserve(n_edges);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (e_pi[e] < num_p && e_li[e] < num_l) free_edge_ids.push_back(e);
+  }
+  // bucket edges by landmark column
+  std::vector<int64_t> col_cnt(static_cast<size_t>(num_l) + 1, 0);
+  for (int64_t e : free_edge_ids) col_cnt[e_li[e] + 1]++;
+  std::partial_sum(col_cnt.begin(), col_cnt.end(), col_cnt.begin());
+  std::vector<int64_t> by_col(free_edge_ids.size());
+  {
+    std::vector<int64_t> cursor(col_cnt.begin(), col_cnt.end() - 1);
+    for (int64_t e : free_edge_ids) by_col[cursor[e_li[e]]++] = e;
+  }
+
+  res->edge2hpl.assign(n_edges, 0);  // fill below; default patched after n_hpl known
+  std::vector<int64_t> slot_of_edge(n_edges, -1);
+
+  std::vector<int32_t> col_rows;  // scratch: unique rows of one column
+  std::vector<int64_t> col_start(static_cast<size_t>(num_l) + 1, 0);
+  for (int32_t l = 0; l < num_l; ++l) {
+    col_start[l] = static_cast<int64_t>(res->hpl_row.size());
+    int64_t b = col_cnt[l], eend = col_cnt[l + 1];
+    col_rows.clear();
+    for (int64_t k = b; k < eend; ++k) col_rows.push_back(e_pi[by_col[k]]);
+    std::sort(col_rows.begin(), col_rows.end());
+    col_rows.erase(std::unique(col_rows.begin(), col_rows.end()), col_rows.end());
+    int64_t base = static_cast<int64_t>(res->hpl_row.size());
+    for (int32_t r : col_rows) {
+      res->hpl_row.push_back(r);
+      res->hpl_col.push_back(l);
+    }
+    for (int64_t k = b; k < eend; ++k) {
+      int64_t e = by_col[k];
+      auto it = std::lower_bound(col_rows.begin(), col_rows.end(), e_pi[e]);
+      slot_of_edge[e] = base + (it - col_rows.begin());
+    }
+  }
+  const int64_t n_hpl = static_cast<int64_t>(res->hpl_row.size());
+  col_start[num_l] = n_hpl;
+  for (int64_t e = 0; e < n_edges; ++e)
+    res->edge2hpl[e] =
+        slot_of_edge[e] < 0 ? static_cast<int32_t>(n_hpl) : static_cast<int32_t>(slot_of_edge[e]);
+
+  // --- LK layout: slot rank within its column, K = max column length ------
+  int64_t maxK = 0;
+  for (int32_t l = 0; l < num_l; ++l)
+    maxK = std::max(maxK, col_start[l + 1] - col_start[l]);
+  // round K up to a power of two (static shape stability across problems)
+  int64_t K = 1;
+  while (K < maxK) K <<= 1;
+  if (num_l == 0) K = 0;
+  res->lk_K = static_cast<int32_t>(K);
+  res->lk_pose.assign(static_cast<size_t>(num_l) * K, num_p);  // num_p = pad
+  for (int32_t l = 0; l < num_l; ++l)
+    for (int64_t s = col_start[l]; s < col_start[l + 1]; ++s)
+      res->lk_pose[static_cast<size_t>(l) * K + (s - col_start[l])] = res->hpl_row[s];
+  res->edge2lk.assign(n_edges, static_cast<int32_t>(static_cast<int64_t>(num_l) * K));
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t s = slot_of_edge[e];
+    if (s >= 0) {
+      int32_t l = res->hpl_col[s];
+      res->edge2lk[e] = static_cast<int32_t>(static_cast<int64_t>(l) * K + (s - col_start[l]));
+    }
+  }
+
+  // --- Hsc block pattern + mul triplets ----------------------------------
+  // per landmark column: all slot pairs (i, j), i <= j (row_i <= row_j since
+  // rows are sorted within a column); output block = (row_i, row_j).
+  int64_t n_pairs = 0;
+  for (int32_t l = 0; l < num_l; ++l) {
+    int64_t len = col_start[l + 1] - col_start[l];
+    n_pairs += len * (len + 1) / 2;
+  }
+  struct Trip {
+    int64_t key;  // row_i * num_p + row_j
+    int32_t i, j;
+  };
+  std::vector<Trip> trips;
+  trips.reserve(n_pairs);
+  for (int32_t l = 0; l < num_l; ++l) {
+    for (int64_t a = col_start[l]; a < col_start[l + 1]; ++a) {
+      const int64_t ra = res->hpl_row[a];
+      for (int64_t b = a; b < col_start[l + 1]; ++b) {
+        trips.push_back({ra * num_p + res->hpl_row[b], static_cast<int32_t>(a),
+                         static_cast<int32_t>(b)});
+      }
+    }
+  }
+  std::stable_sort(trips.begin(), trips.end(),
+                   [](const Trip& x, const Trip& y) { return x.key < y.key; });
+  res->mul_i.resize(trips.size());
+  res->mul_j.resize(trips.size());
+  res->mul_k.resize(trips.size());
+  int64_t prev_key = -1;
+  int32_t k = -1;
+  for (size_t t = 0; t < trips.size(); ++t) {
+    if (trips[t].key != prev_key) {
+      prev_key = trips[t].key;
+      ++k;
+      res->hsc_row.push_back(static_cast<int32_t>(prev_key / num_p));
+      res->hsc_col.push_back(static_cast<int32_t>(prev_key % num_p));
+    }
+    res->mul_i[t] = trips[t].i;
+    res->mul_j[t] = trips[t].j;
+    res->mul_k[t] = k;
+  }
+
+  return res;
+}
+
+int64_t ba_n_hpl(const void* h) {
+  return static_cast<const SymbolicResult*>(h)->hpl_row.size();
+}
+int64_t ba_n_hsc(const void* h) {
+  return static_cast<const SymbolicResult*>(h)->hsc_row.size();
+}
+int64_t ba_n_mul(const void* h) {
+  return static_cast<const SymbolicResult*>(h)->mul_i.size();
+}
+int32_t ba_lk_K(const void* h) { return static_cast<const SymbolicResult*>(h)->lk_K; }
+
+static void copy32(const std::vector<int32_t>& v, int32_t* dst) {
+  std::memcpy(dst, v.data(), v.size() * sizeof(int32_t));
+}
+
+void ba_copy_hpl(const void* h, int32_t* row, int32_t* col, int32_t* edge2hpl) {
+  const auto* r = static_cast<const SymbolicResult*>(h);
+  copy32(r->hpl_row, row);
+  copy32(r->hpl_col, col);
+  copy32(r->edge2hpl, edge2hpl);
+}
+void ba_copy_hsc(const void* h, int32_t* row, int32_t* col) {
+  const auto* r = static_cast<const SymbolicResult*>(h);
+  copy32(r->hsc_row, row);
+  copy32(r->hsc_col, col);
+}
+void ba_copy_mul(const void* h, int32_t* i, int32_t* j, int32_t* k) {
+  const auto* r = static_cast<const SymbolicResult*>(h);
+  copy32(r->mul_i, i);
+  copy32(r->mul_j, j);
+  copy32(r->mul_k, k);
+}
+void ba_copy_lk(const void* h, int32_t* lk_pose, int32_t* edge2lk) {
+  const auto* r = static_cast<const SymbolicResult*>(h);
+  copy32(r->lk_pose, lk_pose);
+  copy32(r->edge2lk, edge2lk);
+}
+
+void ba_symbolic_free(void* h) { delete static_cast<SymbolicResult*>(h); }
+
+}  // extern "C"

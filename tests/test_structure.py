@@ -157,3 +157,60 @@ class TestJsonIO:
         np.testing.assert_allclose(s1.qs, s2.qs)
         np.testing.assert_allclose(s1.mono.measurements, s2.mono.measurements)
         np.testing.assert_allclose(s1.stereo.omegas, s2.stereo.omegas)
+
+
+class TestNativeParity:
+    """The C++ symbolic compiler (cuba_tpu/native/symbolic.cpp) must produce
+    the exact same structure as the NumPy fallback."""
+
+    def _both(self, e_pi, e_li, num_p, num_l):
+        from cuba_tpu import native
+        from cuba_tpu.solver import structure as st
+
+        nat = native.symbolic_compile(e_pi, e_li, num_p, num_l)
+        if nat is None:
+            pytest.skip("native toolchain unavailable")
+        # numpy fallback: temporarily disable native dispatch
+        orig = native.symbolic_compile
+        native.symbolic_compile = lambda *a, **k: None
+        try:
+            mono = st.EdgeArrays(np.zeros((len(e_pi), 2)), np.ones(len(e_pi)),
+                                 np.asarray(e_pi, np.int32), np.asarray(e_li, np.int32))
+            stereo = st.EdgeArrays(np.zeros((0, 3)), np.zeros(0),
+                                   np.zeros(0, np.int32), np.zeros(0, np.int32))
+            s = st._finish_structure(num_p, num_l, num_p, num_l,
+                                     np.zeros((num_p, 4)), np.zeros((num_p, 3)),
+                                     np.zeros((num_p, 5)), np.zeros((num_l, 3)),
+                                     mono, stereo)
+        finally:
+            native.symbolic_compile = orig
+        return nat, s
+
+    def test_random_graph_parity(self):
+        rng = np.random.default_rng(42)
+        num_p, num_l, E = 17, 61, 400
+        e_pi = rng.integers(0, num_p + 3, E).astype(np.int32)  # some >= num_p (fixed)
+        e_li = rng.integers(0, num_l + 5, E).astype(np.int32)
+        nat, s = self._both(e_pi, e_li, num_p, num_l)
+        (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col,
+         mul_i, mul_j, mul_k, K, lk_pose, edge2lk) = nat
+        assert np.array_equal(hpl_row, s.hpl_row)
+        assert np.array_equal(hpl_col, s.hpl_col)
+        assert np.array_equal(edge2hpl, s.edge2hpl)
+        assert np.array_equal(hsc_row, s.hsc_row)
+        assert np.array_equal(hsc_col, s.hsc_col)
+        assert np.array_equal(mul_k, s.mul_k)
+        a = np.stack([mul_k, mul_i, mul_j])
+        b = np.stack([s.mul_k, s.mul_i, s.mul_j])
+        assert np.array_equal(a[:, np.lexsort(a[::-1])], b[:, np.lexsort(b[::-1])])
+        assert K == s.lk_K
+        assert np.array_equal(lk_pose, s.lk_pose)
+        assert np.array_equal(edge2lk, s.edge2lk)
+
+    def test_empty_and_degenerate(self):
+        for num_p, num_l, E in ((5, 0, 0), (0, 5, 0), (3, 4, 0)):
+            e_pi = np.zeros(E, np.int32)
+            e_li = np.zeros(E, np.int32)
+            nat, s = self._both(e_pi, e_li, num_p, num_l)
+            assert nat[0].size == s.hpl_row.size == 0
+            assert nat[8] == s.lk_K
