@@ -1,0 +1,488 @@
+"""One-hot segment-matmul Pallas kernels — the TPU-native scatter/gather.
+
+The reference's CUDA kernels scatter with atomicAdd (reference:
+src/cuda_block_solver.cu:147-148, :818-837) and gather with per-thread
+pointer chasing.  XLA's TPU lowering of gather/scatter/segment_sum runs at
+~5-10 GB/s (measured, docs/PERF_NOTES.md) — two orders of magnitude below
+HBM.  These kernels replace every index-driven reduction with MXU matmuls
+against compare-built one-hot matrices:
+
+    out[:, s] (+)= sum_n vals[:, n] * (ids[n] == s)
+    ==  vals @ Q,   Q[r, s] = (ids[r] == s)
+
+Q is built on-chip with ``broadcasted_iota`` + compare (never materialized
+in HBM), and the contraction runs on the MXU.  Data layout is transposed —
+``[D, N]`` with N on lanes — so D=6/12/18/42 block rows cost sublanes, not
+128-wide lanes.
+
+Three instantiations (see docs/PERF_NOTES.md "Design conclusions"):
+
+* ``accum_segsum``   — ids in any order, small output (S lanes in VMEM):
+                       grid over input chunks, persistent VMEM accumulator.
+* ``tiled_segsum``   — ids locally sorted: grid over output tiles, each
+                       tile reduces a windowed input range (scalar-prefetch
+                       window bases), write-once output.
+* ``tiled_gather``   — out[:, s] = src[:, ids[s]]: same skeleton with the
+                       one-hot built from output-side ids.
+
+All kernels accumulate in fp32 with ``Precision.HIGHEST`` by default (TPU
+matmuls are bf16 at default precision — 1e-3 error, unacceptable here).
+Every function has an ``_xla`` reference twin used on CPU, for parity
+tests, and as fallback when the host-side plan detects pathological
+locality.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b, precision):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# accum_segsum: unsorted ids, small S (whole output lives in VMEM)
+# ---------------------------------------------------------------------------
+
+
+def accum_segsum(
+    vals: jnp.ndarray,  # [D, N], N multiple of chunk
+    ids: jnp.ndarray,  # [N] int32; out-of-range ids are dropped
+    num_out: int,
+    *,
+    chunk: int = 1024,
+    precision=HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[D, num_out] with out[:, s] = sum of vals[:, n] where ids[n]==s."""
+    D, N = vals.shape
+    assert N % chunk == 0, (N, chunk)
+    S_pad = _round_up(max(num_out, 1), 128)
+    grid = N // chunk
+
+    def kern(ids_ref, vals_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        idv = ids_ref[0, :]
+        Q = (
+            idv[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (chunk, S_pad), 1)
+        ).astype(vals_ref.dtype)
+        out_ref[:] += _dot(vals_ref[:], Q, precision)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda c: (c * 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, chunk), lambda c: (c * 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((D, S_pad), lambda c: (c * 0, c * 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, S_pad), jnp.float32),
+        interpret=interpret,
+    )(ids.reshape(1, N), vals)
+    return out[:, :num_out]
+
+
+def accum_segsum_xla(vals, ids, num_out):
+    clamped = jnp.where((ids >= 0) & (ids < num_out), ids, num_out)
+    return jax.ops.segment_sum(vals.T, clamped, num_segments=num_out + 1)[:num_out].T
+
+
+# ---------------------------------------------------------------------------
+# tile plans (host-side, once per initialize)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """Window metadata for tiled_segsum / tiled_gather.
+
+    For tile t (T_S output columns / ids), the relevant input columns all lie
+    in blocks [base_block[t], base_block[t] + n_blocks) of size block each.
+    ``n_pad`` is the padded minor size the runtime array must have.
+    """
+
+    tile: int  # T_S: output columns per grid tile
+    block: int  # R_in: input columns per inner step
+    n_blocks: int  # C: inner steps per tile
+    num_tiles: int
+    base_block: np.ndarray  # [num_tiles] int32
+    n_pad: int  # required padded input minor dim
+    ok: bool  # False -> caller must use the XLA fallback
+
+
+def plan_tiles(
+    ids: np.ndarray,  # [N] int32 sorted-ish OUTPUT ids per input (expand mode)
+    num_out: int,
+    *,
+    tile: int = 512,
+    block: int = 1024,
+    max_blocks: int = 8,
+) -> TilePlan:
+    """Plan for tiled_segsum: per output tile, the input range covering it.
+
+    Requires mild locality: inputs mapping to tile t span <= max_blocks*block
+    contiguous input columns.  Invalid ids (<0 or >=num_out) are ignored.
+    """
+    N = int(ids.size)
+    num_tiles = max((num_out + tile - 1) // tile, 1)
+    valid = (ids >= 0) & (ids < num_out)
+    idx = np.nonzero(valid)[0]
+    t_of = ids[idx] // tile
+    first = np.full(num_tiles, N, dtype=np.int64)
+    last = np.full(num_tiles, -1, dtype=np.int64)
+    np.minimum.at(first, t_of, idx)
+    np.maximum.at(last, t_of, idx)
+    empty = last < 0
+    first[empty] = 0
+    last[empty] = 0
+    base_block = first // block
+    end_block = last // block + 1
+    n_blocks = int(np.max(end_block - base_block)) if num_tiles else 1
+    n_blocks = max(n_blocks, 1)
+    ok = n_blocks <= max_blocks
+    n_pad = int(np.max(base_block) + n_blocks) * block if ok else _round_up(N, block)
+    n_pad = max(n_pad, block)
+    return TilePlan(tile, block, n_blocks, num_tiles, base_block.astype(np.int32), n_pad, ok)
+
+
+def plan_gather_tiles(
+    ids: np.ndarray,  # [N] int32 SOURCE column per output (gather mode)
+    num_src: int,
+    *,
+    tile: int = 512,
+    block: int = 1024,
+    max_blocks: int = 8,
+) -> TilePlan:
+    """Plan for tiled_gather: per output tile, the source-column window."""
+    N = int(ids.size)
+    num_tiles = max((N + tile - 1) // tile, 1)
+    pad = num_tiles * tile - N
+    idp = np.concatenate([ids, np.full(pad, -1, np.int32)]).reshape(num_tiles, tile)
+    valid = (idp >= 0) & (idp < num_src)
+    any_valid = valid.any(axis=1)
+    lo = np.where(any_valid, np.where(valid, idp, num_src).min(axis=1), 0)
+    hi = np.where(any_valid, np.where(valid, idp, -1).max(axis=1), 0)
+    base_block = lo // block
+    n_blocks = int(np.max(hi // block + 1 - base_block)) if num_tiles else 1
+    n_blocks = max(n_blocks, 1)
+    ok = n_blocks <= max_blocks
+    n_pad = int(np.max(base_block) + n_blocks) * block if ok else _round_up(num_src, block)
+    n_pad = max(n_pad, block)
+    return TilePlan(tile, block, n_blocks, num_tiles, base_block.astype(np.int32), n_pad, ok)
+
+
+# ---------------------------------------------------------------------------
+# tiled_segsum: locally-sorted ids, any S, write-once output tiles
+# ---------------------------------------------------------------------------
+
+
+def tiled_segsum(
+    vals: jnp.ndarray,  # [D, n_pad] (padding cols must carry invalid ids)
+    ids: jnp.ndarray,  # [n_pad] int32 output column per input column
+    num_out: int,
+    plan: TilePlan,
+    base_block: jnp.ndarray,  # [num_tiles] int32 (device copy of plan.base_block)
+    *,
+    precision=HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    D, Np = vals.shape
+    T_S, R, C, T = plan.tile, plan.block, plan.n_blocks, plan.num_tiles
+    assert Np == plan.n_pad, (Np, plan.n_pad)
+
+    def kern(bb_ref, ids_ref, vals_ref, out_ref):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        idv = ids_ref[0, :]
+        base = t * T_S
+        Q = (
+            idv[:, None] - base
+            == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 1)
+        ).astype(vals_ref.dtype)
+        out_ref[:] += _dot(vals_ref[:], Q, precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, R), lambda t, c, bb: (t * 0, bb[t] + c)),
+            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, bb[t] + c)),
+        ],
+        out_specs=pl.BlockSpec((D, T_S), lambda t, c, bb: (t * 0, t)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, T * T_S), jnp.float32),
+        interpret=interpret,
+    )(base_block, ids.reshape(1, Np), vals)
+    return out[:, :num_out]
+
+
+def tiled_segsum_xla(vals, ids, num_out):
+    return accum_segsum_xla(vals, ids, num_out)
+
+
+# ---------------------------------------------------------------------------
+# tiled_gather: out[:, n] = src[:, ids[n]] (ids locally sorted or src small)
+# ---------------------------------------------------------------------------
+
+
+def tiled_gather(
+    src: jnp.ndarray,  # [D, n_src_pad]
+    ids: jnp.ndarray,  # [N_out_pad] int32 source column per output (invalid -> 0s)
+    plan: TilePlan,
+    base_block: jnp.ndarray,  # [num_tiles] int32
+    *,
+    num_out: Optional[int] = None,
+    precision=HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    D, Sp = src.shape
+    T_S, R, C, T = plan.tile, plan.block, plan.n_blocks, plan.num_tiles
+    assert Sp == plan.n_pad, (Sp, plan.n_pad)
+    Np = T * T_S
+    assert ids.shape[0] == Np, (ids.shape, Np)
+
+    def kern(bb_ref, ids_ref, src_ref, out_ref):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        cols = ids_ref[0, :]  # [T_S] source column per output
+        rbase = (bb_ref[t] + c) * R
+        Q = (
+            cols[None, :] - rbase
+            == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 0)
+        ).astype(src_ref.dtype)
+        out_ref[:] += _dot(src_ref[:], Q, precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, T_S), lambda t, c, bb: (t * 0, t)),
+            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, bb[t] + c)),
+        ],
+        out_specs=pl.BlockSpec((D, T_S), lambda t, c, bb: (t * 0, t)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, Np), jnp.float32),
+        interpret=interpret,
+    )(base_block, ids.reshape(1, Np), src)
+    return out if num_out is None else out[:, :num_out]
+
+
+def tiled_gather_xla(src, ids, num_out=None):
+    n = ids.shape[0] if num_out is None else num_out
+    safe = jnp.clip(ids[:n], 0, src.shape[1] - 1)
+    valid = (ids[:n] >= 0) & (ids[:n] < src.shape[1])
+    return jnp.where(valid[None, :], src[:, safe], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# schur_fused: per-landmark pair products + windowed scatter into Hsc blocks
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurPlan:
+    """Chunk metadata for schur_fused (host, once per initialize).
+
+    Triplets (mul_i, mul_j, mul_k) are processed in landmark order in chunks
+    of ``chunk``.  For chunk c all touched Hpl slots lie in the two
+    ``slot_block``-sized blocks starting at block sb[c], and all output Hsc
+    block ids lie in [kb[c], kb[c] + kwin).  li/lj/lk are the precomputed
+    local ids (-1 for padding).
+    """
+
+    chunk: int
+    slot_block: int  # W/G input block size (window = 2 blocks)
+    kwin: int  # output window lanes (128-aligned)
+    num_chunks: int
+    sb: np.ndarray  # [C] int32 block index into slot arrays
+    kb: np.ndarray  # [C] int32 element offset into Hsc blocks (128-aligned)
+    li: np.ndarray  # [C*chunk] int32 local slot of W operand
+    lj: np.ndarray  # [C*chunk] int32 local slot of G operand
+    lk: np.ndarray  # [C*chunk] int32 local output block
+    n_slot_pad: int  # required padded slot-array minor dim
+    n_hsc_pad: int  # required padded output minor dim
+    ok: bool
+
+
+def plan_schur(
+    mul_i: np.ndarray,
+    mul_j: np.ndarray,
+    mul_k: np.ndarray,
+    n_hpl: int,
+    n_hsc: int,
+    *,
+    chunk: int = 1024,
+    slot_block: int = 1024,
+    kwin: int = 1024,
+) -> SchurPlan:
+    """Sort triplets by landmark (== by slot i, since slots are landmark-major)
+    and derive per-chunk windows.  ok=False when locality is insufficient."""
+    n_mul = int(mul_i.size)
+    order = np.argsort(mul_i, kind="stable")  # landmark-major slot order
+    mi, mj, mk = mul_i[order], mul_j[order], mul_k[order]
+    C = max((n_mul + chunk - 1) // chunk, 1)
+    pad = C * chunk - n_mul
+    mi = np.concatenate([mi, np.full(pad, -1, np.int64)])
+    mj = np.concatenate([mj, np.full(pad, -1, np.int64)])
+    mk = np.concatenate([mk, np.full(pad, -1, np.int64)])
+    mi2, mj2, mk2 = (a.reshape(C, chunk) for a in (mi, mj, mk))
+    valid = mi2 >= 0
+    big = np.int64(1) << 40
+    smin = np.where(valid, np.minimum(mi2, mj2), big).min(axis=1)
+    smax = np.where(valid, np.maximum(mi2, mj2), -1).max(axis=1)
+    kmin = np.where(valid, mk2, big).min(axis=1)
+    kmax = np.where(valid, mk2, -1).max(axis=1)
+    none = smax < 0
+    smin[none] = 0
+    smax[none] = 0
+    kmin[none] = 0
+    kmax[none] = 0
+    sb = (smin // slot_block).astype(np.int32)
+    kb = ((kmin // 128) * 128).astype(np.int32)
+    ok = bool(
+        np.all(smax - sb.astype(np.int64) * slot_block < 2 * slot_block)
+        and np.all(kmax - kb < kwin)
+    )
+    li = np.where(valid, mi2 - sb[:, None].astype(np.int64) * slot_block, -1)
+    lj = np.where(valid, mj2 - sb[:, None].astype(np.int64) * slot_block, -1)
+    lk = np.where(valid, mk2 - kb[:, None].astype(np.int64), -1)
+    n_slot_pad = max((int(sb.max()) + 2) * slot_block if C else slot_block,
+                     _round_up(n_hpl, slot_block))
+    n_hsc_pad = max(_round_up(n_hsc, 128), int(kb.max()) + kwin if C else kwin)
+    return SchurPlan(
+        chunk, slot_block, kwin, C, sb, kb,
+        li.reshape(-1).astype(np.int32), lj.reshape(-1).astype(np.int32),
+        lk.reshape(-1).astype(np.int32), n_slot_pad, n_hsc_pad, ok,
+    )
+
+
+def schur_fused(
+    W: jnp.ndarray,  # [18, n_slot_pad]  W = Hpl @ invHll, rows (i*3+k)
+    G: jnp.ndarray,  # [18, n_slot_pad]  Hpl, rows (j*3+k)
+    plan: SchurPlan,
+    sb: jnp.ndarray,  # device copies of plan.sb / kb / li / lj / lk
+    kb: jnp.ndarray,
+    li: jnp.ndarray,
+    lj: jnp.ndarray,
+    lk: jnp.ndarray,
+    *,
+    precision=HIGHEST,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sum over triplets t of W[:, i_t] (x) G[:, j_t] scattered at block k_t.
+
+    Returns [36, n_hsc_pad] where row (a*6+b) holds sum_t W[a*3+:, i] . G[b*3+:, j]
+    — i.e. the Hpl invHll Hpl^T contribution of every Hsc block (reference:
+    computeHschureKernel, src/cuda_block_solver.cu:964-977, minus the sign).
+    """
+    R = plan.chunk
+    SB = plan.slot_block
+    KW = plan.kwin
+    C = plan.num_chunks
+    WIN = 2 * SB
+
+    def kern(sb_ref, kb_ref, li_ref, lj_ref, lk_ref, W0, W1, G0, G1, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        Wwin = jnp.concatenate([W0[:], W1[:]], axis=1)  # [18, WIN]
+        Gwin = jnp.concatenate([G0[:], G1[:]], axis=1)
+        liv = li_ref[0, :]
+        ljv = lj_ref[0, :]
+        lkv = lk_ref[0, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WIN, R), 0)
+        Qi = (liv[None, :] == rows).astype(Wwin.dtype)
+        Qj = (ljv[None, :] == rows).astype(Wwin.dtype)
+        Wg = _dot(Wwin, Qi, precision)  # [18, R]
+        Gg = _dot(Gwin, Qj, precision)
+        prod_rows = []
+        for a in range(6):
+            for b in range(6):
+                prod_rows.append(
+                    jnp.sum(Wg[3 * a : 3 * a + 3, :] * Gg[3 * b : 3 * b + 3, :], axis=0)
+                )
+        prod = jnp.stack(prod_rows, axis=0)  # [36, R]
+        Qk = (
+            lkv[:, None] == jax.lax.broadcasted_iota(jnp.int32, (R, KW), 1)
+        ).astype(prod.dtype)
+        contrib = _dot(prod, Qk, precision)  # [36, KW]
+        k0 = kb_ref[c]
+        cur = out_ref[:, pl.ds(k0, KW)]
+        out_ref[:, pl.ds(k0, KW)] = cur + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # li
+            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # lj
+            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # lk
+            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c])),  # W0
+            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c] + 1)),  # W1
+            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c])),  # G0
+            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c] + 1)),  # G1
+        ],
+        out_specs=pl.BlockSpec(
+            (36, plan.n_hsc_pad), lambda c, sb, kb: (c * 0, c * 0)
+        ),
+    )
+    N = C * R
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((36, plan.n_hsc_pad), jnp.float32),
+        interpret=interpret,
+    )(sb, kb, li.reshape(1, N), lj.reshape(1, N), lk.reshape(1, N), W, W, G, G)
+
+
+def schur_fused_xla(W, G, mul_i, mul_j, mul_k, n_hsc):
+    """Reference implementation over the (unsorted) triplet arrays."""
+    Wg = W[:, mul_i]  # [18, T]
+    Gg = G[:, mul_j]
+    Wr = Wg.reshape(6, 3, -1)
+    Gr = Gg.reshape(6, 3, -1)
+    prod = jnp.einsum("akt,bkt->abt", Wr, Gr).reshape(36, -1)
+    return jax.ops.segment_sum(prod.T, mul_k, num_segments=n_hsc).T

@@ -1,0 +1,139 @@
+"""Unit tests for the one-hot segment-matmul Pallas kernels (ops/segmm.py),
+run in interpreter mode so they work on CPU.  These kernels replace the
+reference's atomicAdd scatters (reference: src/cuda_block_solver.cu:147-148,
+:818-837) on TPU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cuba_tpu.ops import segmm
+
+
+def _rand_ids(rng, n, s, frac_invalid=0.1, sort=False):
+    ids = rng.integers(0, s, n).astype(np.int32)
+    inv = rng.random(n) < frac_invalid
+    ids[inv] = -1
+    if sort:
+        order = np.argsort(np.where(ids < 0, np.int64(1) << 40, ids), kind="stable")
+        ids = ids[order]
+    return ids
+
+
+class TestAccumSegsum:
+    def test_matches_xla(self):
+        rng = np.random.default_rng(0)
+        D, N, S = 7, 2048, 300
+        vals = jnp.asarray(rng.standard_normal((D, N)), jnp.float32)
+        ids = jnp.asarray(_rand_ids(rng, N, S))
+        out = segmm.accum_segsum(vals, ids, S, chunk=512, interpret=True)
+        ref = segmm.accum_segsum_xla(vals, ids, S)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_all_invalid(self):
+        vals = jnp.ones((3, 256), jnp.float32)
+        ids = jnp.full((256,), -1, jnp.int32)
+        out = segmm.accum_segsum(vals, ids, 10, chunk=256, interpret=True)
+        assert float(jnp.abs(out).max()) == 0.0
+
+
+class TestTiledSegsum:
+    def test_matches_xla_sorted(self):
+        rng = np.random.default_rng(1)
+        D, N, S = 5, 4096, 1000
+        ids_np = np.sort(rng.integers(0, S, N).astype(np.int32))
+        plan = segmm.plan_tiles(ids_np, S, tile=256, block=512, max_blocks=8)
+        assert plan.ok
+        vals_np = rng.standard_normal((D, N)).astype(np.float32)
+        pad = plan.n_pad - N
+        vals = jnp.asarray(np.pad(vals_np, ((0, 0), (0, pad))))
+        ids = jnp.asarray(np.concatenate([ids_np, np.full(pad, -1, np.int32)]))
+        out = segmm.tiled_segsum(
+            vals, ids, S, plan, jnp.asarray(plan.base_block), interpret=True
+        )
+        ref = segmm.tiled_segsum_xla(vals, ids, S)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_plan_rejects_bad_locality(self):
+        # alternating far-apart ids -> every tile needs the whole input
+        ids = np.tile(np.array([0, 100_000], np.int32), 5000)
+        plan = segmm.plan_tiles(ids, 100_001, tile=256, block=512, max_blocks=4)
+        assert not plan.ok
+
+
+class TestTiledGather:
+    def test_matches_xla_sorted_ids(self):
+        rng = np.random.default_rng(2)
+        D, S, N = 6, 2000, 4096
+        ids_np = np.sort(rng.integers(0, S, N).astype(np.int32))
+        plan = segmm.plan_gather_tiles(ids_np, S, tile=256, block=512, max_blocks=8)
+        assert plan.ok
+        src_np = rng.standard_normal((D, S)).astype(np.float32)
+        src = jnp.asarray(np.pad(src_np, ((0, 0), (0, plan.n_pad - S))))
+        idp = np.concatenate(
+            [ids_np, np.full(plan.num_tiles * plan.tile - N, -1, np.int32)]
+        )
+        out = segmm.tiled_gather(
+            src, jnp.asarray(idp), plan, jnp.asarray(plan.base_block),
+            num_out=N, interpret=True,
+        )
+        ref = segmm.tiled_gather_xla(src, jnp.asarray(idp), num_out=N)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    def test_small_source_unsorted(self):
+        # unsorted ids but the whole source fits one window
+        rng = np.random.default_rng(3)
+        D, S, N = 4, 700, 2048
+        ids_np = rng.integers(0, S, N).astype(np.int32)
+        plan = segmm.plan_gather_tiles(ids_np, S, tile=512, block=1024, max_blocks=2)
+        assert plan.ok  # source (700 cols) spans <= 2 blocks from any tile
+        src = jnp.asarray(rng.standard_normal((D, plan.n_pad)), jnp.float32)
+        out = segmm.tiled_gather(
+            src, jnp.asarray(ids_np), plan, jnp.asarray(plan.base_block),
+            num_out=N, interpret=True,
+        )
+        ref = segmm.tiled_gather_xla(src, jnp.asarray(ids_np), num_out=N)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+class TestSchurFused:
+    def test_matches_xla(self):
+        rng = np.random.default_rng(4)
+        # landmark-major synthetic triplets: 200 landmarks, 2-5 slots each
+        n_slots_per = rng.integers(2, 6, 200)
+        slot_of = np.repeat(np.arange(200), n_slots_per)
+        n_hpl = slot_of.size
+        pose_of_slot = np.sort(rng.integers(0, 40, n_hpl))  # rows within col sorted-ish
+        mul_i, mul_j = [], []
+        start = 0
+        for c in n_slots_per:
+            for a in range(c):
+                for b in range(a, c):
+                    mul_i.append(start + a)
+                    mul_j.append(start + b)
+            start += c
+        mul_i = np.asarray(mul_i, np.int64)
+        mul_j = np.asarray(mul_j, np.int64)
+        key = pose_of_slot[mul_i] * 40 + pose_of_slot[mul_j]
+        uniq, mul_k = np.unique(key, return_inverse=True)
+        n_hsc = uniq.size
+
+        plan = segmm.plan_schur(mul_i, mul_j, mul_k, n_hpl, n_hsc,
+                                chunk=256, slot_block=512, kwin=256)
+        assert plan.ok
+        W = rng.standard_normal((18, plan.n_slot_pad)).astype(np.float32)
+        G = rng.standard_normal((18, plan.n_slot_pad)).astype(np.float32)
+        W[:, n_hpl:] = 0
+        G[:, n_hpl:] = 0
+        Wd, Gd = jnp.asarray(W), jnp.asarray(G)
+        out = segmm.schur_fused(
+            Wd, Gd, plan,
+            jnp.asarray(plan.sb), jnp.asarray(plan.kb),
+            jnp.asarray(plan.li), jnp.asarray(plan.lj), jnp.asarray(plan.lk),
+            interpret=True,
+        )
+        ref = segmm.schur_fused_xla(Wd, Gd, jnp.asarray(mul_i), jnp.asarray(mul_j),
+                                    jnp.asarray(mul_k), n_hsc)
+        np.testing.assert_allclose(np.asarray(out)[:, :n_hsc], np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
