@@ -49,6 +49,7 @@ class BAConfig:
 
     dtype: Optional[jnp.dtype] = None
     chi_dtype: jnp.dtype = jnp.float64
+    mxu: str = "auto"  # MXU Pallas fast path: "auto" | "on" | "off" | "interpret"
     max_inner_iterations: int = 10
     tau: float = 1e-5
     scale_eps: float = 1e-3

@@ -212,7 +212,7 @@ def tiled_segsum(
 ) -> jnp.ndarray:
     D, Np = vals.shape
     T_S, R, C, T = plan.tile, plan.block, plan.n_blocks, plan.num_tiles
-    assert Np == plan.n_pad, (Np, plan.n_pad)
+    assert Np >= plan.n_pad and Np % R == 0, (Np, plan.n_pad, R)
 
     def kern(bb_ref, ids_ref, vals_ref, out_ref):
         t = pl.program_id(0)
@@ -269,7 +269,7 @@ def tiled_gather(
 ) -> jnp.ndarray:
     D, Sp = src.shape
     T_S, R, C, T = plan.tile, plan.block, plan.n_blocks, plan.num_tiles
-    assert Sp == plan.n_pad, (Sp, plan.n_pad)
+    assert Sp >= plan.n_pad and Sp % R == 0, (Sp, plan.n_pad, R)
     Np = T * T_S
     assert ids.shape[0] == Np, (ids.shape, Np)
 
@@ -339,6 +339,7 @@ class SchurPlan:
     li: np.ndarray  # [C*chunk] int32 local slot of W operand
     lj: np.ndarray  # [C*chunk] int32 local slot of G operand
     lk: np.ndarray  # [C*chunk] int32 local output block
+    gid: np.ndarray  # [C*kwin] int32 global Hsc block per window lane (-1 pad)
     n_slot_pad: int  # required padded slot-array minor dim
     n_hsc_pad: int  # required padded output minor dim
     ok: bool
@@ -352,7 +353,7 @@ def plan_schur(
     n_hsc: int,
     *,
     chunk: int = 1024,
-    slot_block: int = 1024,
+    slot_block: int = 512,
     kwin: int = 1024,
 ) -> SchurPlan:
     """Sort triplets by landmark (== by slot i, since slots are landmark-major)
@@ -379,20 +380,29 @@ def plan_schur(
     kmax[none] = 0
     sb = (smin // slot_block).astype(np.int32)
     kb = ((kmin // 128) * 128).astype(np.int32)
+    # adapt the window to the data: oversized windows are mostly zeros and
+    # bloat the combine stage (gid locality degrades ~ kwin / blocks-per-chunk)
+    spread = int(np.max(kmax - kb)) if C else 0
+    kwin = min(kwin, max(_round_up(spread + 1, 128), 128))
     ok = bool(
         np.all(smax - sb.astype(np.int64) * slot_block < 2 * slot_block)
-        and np.all(kmax - kb < kwin)
+        and spread < kwin
     )
     li = np.where(valid, mi2 - sb[:, None].astype(np.int64) * slot_block, -1)
     lj = np.where(valid, mj2 - sb[:, None].astype(np.int64) * slot_block, -1)
     lk = np.where(valid, mk2 - kb[:, None].astype(np.int64), -1)
+    # global Hsc block id per (chunk, window lane): the combine stage
+    # (tiled_segsum over the kernel's per-chunk windows) scatters with these
+    gid = kb[:, None].astype(np.int64) + np.arange(kwin)[None, :]
+    gid = np.where(gid < n_hsc, gid, -1)
     n_slot_pad = max((int(sb.max()) + 2) * slot_block if C else slot_block,
                      _round_up(n_hpl, slot_block))
     n_hsc_pad = max(_round_up(n_hsc, 128), int(kb.max()) + kwin if C else kwin)
     return SchurPlan(
         chunk, slot_block, kwin, C, sb, kb,
         li.reshape(-1).astype(np.int32), lj.reshape(-1).astype(np.int32),
-        lk.reshape(-1).astype(np.int32), n_slot_pad, n_hsc_pad, ok,
+        lk.reshape(-1).astype(np.int32), gid.reshape(-1).astype(np.int32),
+        n_slot_pad, n_hsc_pad, ok,
     )
 
 
@@ -400,8 +410,7 @@ def schur_fused(
     W: jnp.ndarray,  # [18, n_slot_pad]  W = Hpl @ invHll, rows (i*3+k)
     G: jnp.ndarray,  # [18, n_slot_pad]  Hpl, rows (j*3+k)
     plan: SchurPlan,
-    sb: jnp.ndarray,  # device copies of plan.sb / kb / li / lj / lk
-    kb: jnp.ndarray,
+    sb: jnp.ndarray,  # device copies of plan.sb / li / lj / lk
     li: jnp.ndarray,
     lj: jnp.ndarray,
     lk: jnp.ndarray,
@@ -409,11 +418,16 @@ def schur_fused(
     precision=HIGHEST,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """sum over triplets t of W[:, i_t] (x) G[:, j_t] scattered at block k_t.
+    """Per-chunk windowed pair products: sum over the chunk's triplets t of
+    W[:, i_t] (x) G[:, j_t] at window position k_t - kb[c].
 
-    Returns [36, n_hsc_pad] where row (a*6+b) holds sum_t W[a*3+:, i] . G[b*3+:, j]
-    — i.e. the Hpl invHll Hpl^T contribution of every Hsc block (reference:
-    computeHschureKernel, src/cuda_block_solver.cu:964-977, minus the sign).
+    Returns [36, C*kwin]: chunk c's window lives at lanes [c*kwin, (c+1)*kwin)
+    and holds Hsc-block contributions for global blocks kb[c]+lane.  Combine
+    windows with tiled_segsum over plan.gid (Mosaic cannot express the
+    dynamic-lane-offset accumulate that a single-pass kernel would need).
+    Together these give the Hpl invHll Hpl^T term of every Hsc block
+    (reference: computeHschureKernel, src/cuda_block_solver.cu:964-977,
+    minus the sign).
     """
     R = plan.chunk
     SB = plan.slot_block
@@ -421,13 +435,7 @@ def schur_fused(
     C = plan.num_chunks
     WIN = 2 * SB
 
-    def kern(sb_ref, kb_ref, li_ref, lj_ref, lk_ref, W0, W1, G0, G1, out_ref):
-        c = pl.program_id(0)
-
-        @pl.when(c == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
+    def kern(sb_ref, li_ref, lj_ref, lk_ref, W0, W1, G0, G1, out_ref):
         Wwin = jnp.concatenate([W0[:], W1[:]], axis=1)  # [18, WIN]
         Gwin = jnp.concatenate([G0[:], G1[:]], axis=1)
         liv = li_ref[0, :]
@@ -448,34 +456,29 @@ def schur_fused(
         Qk = (
             lkv[:, None] == jax.lax.broadcasted_iota(jnp.int32, (R, KW), 1)
         ).astype(prod.dtype)
-        contrib = _dot(prod, Qk, precision)  # [36, KW]
-        k0 = kb_ref[c]
-        cur = out_ref[:, pl.ds(k0, KW)]
-        out_ref[:, pl.ds(k0, KW)] = cur + contrib
+        out_ref[:] = _dot(prod, Qk, precision)  # [36, KW]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # li
-            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # lj
-            pl.BlockSpec((1, R), lambda c, sb, kb: (c * 0, c)),  # lk
-            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c])),  # W0
-            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c] + 1)),  # W1
-            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c])),  # G0
-            pl.BlockSpec((18, SB), lambda c, sb, kb: (c * 0, sb[c] + 1)),  # G1
+            pl.BlockSpec((1, R), lambda c, sb: (c * 0, c)),  # li
+            pl.BlockSpec((1, R), lambda c, sb: (c * 0, c)),  # lj
+            pl.BlockSpec((1, R), lambda c, sb: (c * 0, c)),  # lk
+            pl.BlockSpec((18, SB), lambda c, sb: (c * 0, sb[c])),  # W0
+            pl.BlockSpec((18, SB), lambda c, sb: (c * 0, sb[c] + 1)),  # W1
+            pl.BlockSpec((18, SB), lambda c, sb: (c * 0, sb[c])),  # G0
+            pl.BlockSpec((18, SB), lambda c, sb: (c * 0, sb[c] + 1)),  # G1
         ],
-        out_specs=pl.BlockSpec(
-            (36, plan.n_hsc_pad), lambda c, sb, kb: (c * 0, c * 0)
-        ),
+        out_specs=pl.BlockSpec((36, KW), lambda c, sb: (c * 0, c)),
     )
     N = C * R
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((36, plan.n_hsc_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((36, C * KW), jnp.float32),
         interpret=interpret,
-    )(sb, kb, li.reshape(1, N), lj.reshape(1, N), lk.reshape(1, N), W, W, G, G)
+    )(sb, li.reshape(1, N), lj.reshape(1, N), lk.reshape(1, N), W, W, G, G)
 
 
 def schur_fused_xla(W, G, mul_i, mul_j, mul_k, n_hsc):

@@ -26,16 +26,26 @@ def cholesky_solve(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve A x = b for SPD A.  Returns (x, ok).
 
+    The system is Jacobi-equilibrated first (A' = S A S, S = diag(A)^-1/2):
+    BA Schur complements have ~1e10 dynamic range across pose blocks and
+    fp32 assembly noise makes the raw matrix numerically indefinite at small
+    damping — equilibration collapses the condition number so the fp32
+    factorization succeeds where the reference would reject the step
+    (zero-pivot semantics, cuda_linear_solver.cpp:175-189).
+
     With refinement_steps > 0, performs fixed-point iterative refinement
     (residual recomputed against A) — the load-bearing piece of the fp32
     fast path (USE_FLOAT32 analogue, reference README.md:85-86 reports no
     fp32 speedup on GPU; on TPU fp32+refinement is the fast path).
     """
-    L = jnp.linalg.cholesky(A)
+    d = jnp.diagonal(A)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, A.dtype)))
+    As = A * s[:, None] * s[None, :]
+    L = jnp.linalg.cholesky(As)
 
     def solve_with(rhs):
-        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        y = jax.scipy.linalg.solve_triangular(L, rhs * s, lower=True)
+        return s * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
     x = solve_with(b)
     for _ in range(refinement_steps):

@@ -26,7 +26,7 @@ import numpy as np
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.ops import se3, smallmat
-from cuba_tpu.solver import assembly, dense_cholesky, pcg, schur
+from cuba_tpu.solver import assembly, dense_cholesky, mxu, pcg, schur
 from cuba_tpu.solver.assembly import EdgeConsts
 from cuba_tpu.solver.schur import SchurConsts
 from cuba_tpu.solver.structure import BAStructure
@@ -65,6 +65,7 @@ class Consts(NamedTuple):
     mono: EdgeConsts
     stereo: EdgeConsts
     sc: SchurConsts
+    mxu: object = None  # Optional[mxu.MXUConsts] on the MXU fast path
 
 
 class LMResult(NamedTuple):
@@ -93,37 +94,61 @@ class BlockSolverEngine:
         self.num_p, self.num_l = s.num_p, s.num_l
         self.pad_blocks = _pad_blocks(s.num_p)
 
-        dt = self.dtype
-        idt = jnp.int32
-        self.state = State(
-            qs=jnp.asarray(s.qs, dt), ts=jnp.asarray(s.ts, dt), Xws=jnp.asarray(s.Xws, dt)
+        dt = np.dtype(str(self.dtype))
+        idt = np.int32
+
+        # MXU fast path (Pallas one-hot segment-matmuls, solver/mxu.py):
+        # fp32-only; "auto" enables it off-CPU when the problem has the
+        # locality the windowed kernels need (plans.ok).
+        mode = config.mxu
+        want_mxu = (
+            mode in ("on", "interpret")
+            or (mode == "auto" and jax.default_backend() != "cpu")
+        ) and dt == jnp.float32
+        self.mxu_interpret = mode == "interpret"
+        self.mxu_plans = None
+        mxu_consts = None
+        if want_mxu:
+            plans, mxu_consts = mxu.plan_mxu(s)
+            if plans.ok:
+                self.mxu_plans = plans
+            else:
+                mxu_consts = None
+        self.use_mxu = self.mxu_plans is not None
+        # build the whole constant set as NumPy, then upload in ONE
+        # device_put: each separate transfer costs ~30ms of tunnel latency
+        # (docs/PERF_NOTES.md) and there are ~40 arrays here.
+        state_np = State(
+            qs=np.asarray(s.qs, dt), ts=np.asarray(s.ts, dt), Xws=np.asarray(s.Xws, dt)
         )
-        self.consts = Consts(
-            cams=jnp.asarray(s.cams, dt),
+        consts_np = Consts(
+            cams=np.asarray(s.cams, dt),
             mono=EdgeConsts(
-                meas=jnp.asarray(s.mono.measurements, dt),
-                omega=jnp.asarray(s.mono.omegas, dt),
-                pose_idx=jnp.asarray(s.mono.pose_idx, idt),
-                lm_idx=jnp.asarray(s.mono.lm_idx, idt),
-                edge2hpl=jnp.asarray(s.edge2hpl[: s.mono.count], idt),
+                meas=np.asarray(s.mono.measurements, dt),
+                omega=np.asarray(s.mono.omegas, dt),
+                pose_idx=np.asarray(s.mono.pose_idx, idt),
+                lm_idx=np.asarray(s.mono.lm_idx, idt),
+                edge2hpl=np.asarray(s.edge2hpl[: s.mono.count], idt),
             ),
             stereo=EdgeConsts(
-                meas=jnp.asarray(s.stereo.measurements, dt),
-                omega=jnp.asarray(s.stereo.omegas, dt),
-                pose_idx=jnp.asarray(s.stereo.pose_idx, idt),
-                lm_idx=jnp.asarray(s.stereo.lm_idx, idt),
-                edge2hpl=jnp.asarray(s.edge2hpl[s.mono.count :], idt),
+                meas=np.asarray(s.stereo.measurements, dt),
+                omega=np.asarray(s.stereo.omegas, dt),
+                pose_idx=np.asarray(s.stereo.pose_idx, idt),
+                lm_idx=np.asarray(s.stereo.lm_idx, idt),
+                edge2hpl=np.asarray(s.edge2hpl[s.mono.count :], idt),
             ),
             sc=SchurConsts(
-                hpl_row=jnp.asarray(s.hpl_row, idt),
-                hpl_col=jnp.asarray(s.hpl_col, idt),
-                hsc_row=jnp.asarray(s.hsc_row, idt),
-                hsc_col=jnp.asarray(s.hsc_col, idt),
-                mul_i=jnp.asarray(s.mul_i, idt),
-                mul_j=jnp.asarray(s.mul_j, idt),
-                mul_k=jnp.asarray(s.mul_k, idt),
+                hpl_row=np.asarray(s.hpl_row, idt),
+                hpl_col=np.asarray(s.hpl_col, idt),
+                hsc_row=np.asarray(s.hsc_row, idt),
+                hsc_col=np.asarray(s.hsc_col, idt),
+                mul_i=np.asarray(s.mul_i, idt),
+                mul_j=np.asarray(s.mul_j, idt),
+                mul_k=np.asarray(s.mul_k, idt),
             ),
+            mxu=mxu_consts,
         )
+        self.state, self.consts = jax.device_put((state_np, consts_np))
 
         # every value the jitted closures capture from `self`, hashable —
         # engines with equal specs share compiled functions via _JIT_CACHE
@@ -149,6 +174,23 @@ class BlockSolverEngine:
             cfg.refinement_steps,
             cfg.pcg_max_iterations,
             cfg.pcg_tol,
+            self.use_mxu,
+            self.mxu_interpret,
+            self._mxu_sig(),
+        )
+
+    def _mxu_sig(self):
+        """Static signature of every plan value the traced closures capture."""
+        p = self.mxu_plans
+        if p is None:
+            return None
+        tp = lambda t: (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
+        sc = p.schur
+        return (
+            p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
+            tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
+            tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.pairs),
+            (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
         )
 
     # ------------------------------------------------------------------
@@ -175,6 +217,15 @@ class BlockSolverEngine:
         return chi
 
     def _build(self, state: State, consts: Consts, err2, Xc2, err3, Xc3):
+        """Quadratic-form assembly.  Returns a path-specific system pytree:
+        XLA path: (Hpp, bp, Hll, bl, Hpl); MXU path: (HppT, HllT, HplT)."""
+        if self.use_mxu:
+            return mxu.build_system_mxu(
+                state.qs, consts.cams, self.num_p, self.num_l,
+                consts.mono, consts.stereo, err2, Xc2, err3, Xc3,
+                self.kernels, self.mxu_plans, consts.mxu,
+                interpret=self.mxu_interpret,
+            )
         return assembly.build_system(
             state.qs,
             consts.cams,
@@ -190,10 +241,32 @@ class BlockSolverEngine:
             self.kernels,
         )
 
-    def _solve(self, Hpp, bp, Hll, bl, Hpl, lam, consts: Consts):
+    def _solve(self, sys, lam, consts: Consts):
         """One damped trial solve (cpp:432-481).  Returns (xp, xl, ok)."""
         s = self.structure
         dt = self.dtype
+        if self.use_mxu:
+            HppT, HllT, HplT = sys
+            plans, mc = self.mxu_plans, consts.mxu
+            interp = self.mxu_interpret
+            iv9, W, bscT, g12 = mxu.prepare_factors_mxu(
+                HppT, HllT, HplT, lam, self.num_p, self.num_l, plans, mc,
+                interpret=interp,
+            )
+            Dm = mxu.schur_dense_mxu(
+                HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
+                interpret=interp,
+            )
+            n = 6 * self.pad_blocks
+            rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
+            refine = self.config.refinement_steps if dt == jnp.float32 else 0
+            x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+            xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
+            xl = mxu.back_substitute_mxu(
+                iv9, HllT, HplT, g12, xp, self.num_l, plans, mc, interpret=interp
+            )
+            return xp, xl, ok
+        Hpp, bp, Hll, bl, Hpl = sys
         if s.optimize_p and s.optimize_l:
             Hpp_d = assembly.damp(Hpp, lam)
             Hll_d = assembly.damp(Hll, lam)
@@ -233,6 +306,21 @@ class BlockSolverEngine:
             Xws = Xws.at[: self.num_l].add(xl)
         return State(qs, ts, Xws)
 
+    def _rhs_of(self, sys):
+        """(bp [P,6], bl [L,3]) from the path-specific system pytree."""
+        if self.use_mxu:
+            HppT, HllT, _ = sys
+            return HppT[36:42].T, HllT[9:12].T
+        Hpp, bp, Hll, bl, Hpl = sys
+        return bp, bl
+
+    def _max_diag(self, sys):
+        if self.use_mxu:
+            HppT, HllT, _ = sys
+            return mxu.max_diagonal_T(HppT, HllT)
+        Hpp, bp, Hll, bl, Hpl = sys
+        return assembly.max_diagonal(Hpp, Hll)
+
     def _scale(self, xp, xl, bp, bl, lam):
         """Gain-ratio denominator sum x*(lambda*x + b) (cu:1070-1091)."""
         total = jnp.zeros((), self.dtype)
@@ -264,9 +352,10 @@ class BlockSolverEngine:
                 it, st, lam, nu, chis, done = carry
                 err2, Xc2, err3, Xc3, F0 = self._residuals_and_chi(st, consts)
                 F = F0.astype(dt)
-                Hpp, bp, Hll, bl, Hpl = self._build(st, consts, err2, Xc2, err3, Xc3)
+                sys = self._build(st, consts, err2, Xc2, err3, Xc3)
+                bp, bl = self._rhs_of(sys)
                 lam = jnp.where(
-                    it == 0, cfg.tau * assembly.max_diagonal(Hpp, Hll).astype(dt), lam
+                    it == 0, cfg.tau * self._max_diag(sys).astype(dt), lam
                 )
 
                 def inner_cond(c):
@@ -275,7 +364,7 @@ class BlockSolverEngine:
 
                 def inner_body(c):
                     q, _, lam_c, nu_c, _, Fc = c
-                    xp, xl, ok = self._solve(Hpp, bp, Hll, bl, Hpl, lam_c, consts)
+                    xp, xl, ok = self._solve(sys, lam_c, consts)
                     trial = self._apply_update(st, xp, xl)
                     Fhat = self._chi_only(trial, consts).astype(dt)
                     scale = self._scale(xp, xl, bp, bl, lam_c) + dt.type(cfg.scale_eps)
@@ -332,12 +421,11 @@ class BlockSolverEngine:
         residuals = self._get_jit("residuals", self._residuals_and_chi)
         chi_only = self._get_jit("chi_only", self._chi_only)
         build = self._get_jit("build", self._build)
-        maxdiag = self._get_jit(
-            "maxdiag", lambda Hpp, Hll: assembly.max_diagonal(Hpp, Hll)
-        )
+        maxdiag = self._get_jit("maxdiag", self._max_diag)
         solve = self._get_jit("solve", self._solve)
         applyu = self._get_jit("apply", self._apply_update)
         scalef = self._get_jit("scale", self._scale)
+        rhs_of = self._rhs_of
 
         def tick():
             jax.block_until_ready(state)
@@ -352,19 +440,18 @@ class BlockSolverEngine:
             prof["2: Compute Error"] += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            Hpp, bp, Hll, bl, Hpl = jax.block_until_ready(
-                build(state, self.consts, err2, Xc2, err3, Xc3)
-            )
+            sys = jax.block_until_ready(build(state, self.consts, err2, Xc2, err3, Xc3))
+            bp, bl = rhs_of(sys)
             prof["3: Build System"] += time.perf_counter() - t0
 
             if it == 0:
-                lam = cfg.tau * float(maxdiag(Hpp, Hll))
+                lam = cfg.tau * float(maxdiag(sys))
 
             q, rho = 0, -1.0
             while q < cfg.max_inner_iterations and rho < 0:
                 t0 = time.perf_counter()
                 xp, xl, ok = jax.block_until_ready(
-                    solve(Hpp, bp, Hll, bl, Hpl, self.dtype.type(lam), self.consts)
+                    solve(sys, self.dtype.type(lam), self.consts)
                 )
                 prof["6: Numerical Decomposition"] += time.perf_counter() - t0
 
@@ -407,7 +494,9 @@ class BlockSolverEngine:
     # ------------------------------------------------------------------
 
     def chi_squares(self, state: State) -> np.ndarray:
-        """Per-edge unrobustified chi2 in combined (mono, stereo) edge order."""
+        """Per-edge unrobustified chi2 in the CALLER's (original insertion)
+        edge order — internal results are unpermuted through the structure's
+        edge sort (structure.mono_perm/stereo_perm)."""
 
         def fn(st, consts):
             out = []
@@ -423,4 +512,16 @@ class BlockSolverEngine:
                 out.append(jnp.zeros((0,), self.dtype))
             return jnp.concatenate(out)
 
-        return np.asarray(self._get_jit("chi_squares", fn)(state, self.consts))
+        internal = np.asarray(self._get_jit("chi_squares", fn)(state, self.consts))
+        s = self.structure
+        out = np.empty_like(internal)
+        nm = s.mono.count
+        if s.mono_perm is not None and nm:
+            out[: nm][s.mono_perm] = internal[:nm]
+        else:
+            out[:nm] = internal[:nm]
+        if s.stereo_perm is not None and internal.size > nm:
+            out[nm:][s.stereo_perm] = internal[nm:]
+        else:
+            out[nm:] = internal[nm:]
+        return out

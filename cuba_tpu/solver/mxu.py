@@ -1,0 +1,358 @@
+"""MXU solve path: system assembly + Schur reduction via one-hot matmuls.
+
+This is the TPU fast path.  It replaces the XLA segment_sum/gather pipeline
+in assembly.py / schur.py (kept as the CPU / parity / fallback path) with
+the Pallas kernels from ops/segmm.py, in transposed ``[D, N]`` layout.
+
+Counterpart of the reference's buildSystem + computeBschure/computeHschure
+kernels (reference: src/cuda_block_solver.cu:788-839, :933-977) — but where
+CUDA scatters with atomicAdd, every reduction here is an MXU matmul against
+a compare-built one-hot matrix (see ops/segmm.py and docs/PERF_NOTES.md for
+the measured rationale: XLA scatter ~5-10 GB/s on TPU).
+
+Host-side ``MXUPlans`` is computed once per initialize(); ``plans.ok`` is
+False when the problem lacks the locality the windowed kernels need (then
+the engine uses the XLA path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuba_tpu.ops import segmm
+from cuba_tpu.solver import assembly
+from cuba_tpu.solver.structure import BAStructure
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# host-side planning
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MXUPlans:
+    ok: bool
+    e_pad_m: int
+    e_pad_s: int
+    hpl_pad: int  # padded slot count (multiple of 1024)
+    p_src_pad: int  # padded pose-source lanes for the xp gather
+    hll_m: Optional[segmm.TilePlan] = None
+    hll_s: Optional[segmm.TilePlan] = None
+    hpl_m: Optional[segmm.TilePlan] = None
+    hpl_s: Optional[segmm.TilePlan] = None
+    ivs: Optional[segmm.TilePlan] = None  # gather [invHll;bl] rows by hpl_col
+    xpg: Optional[segmm.TilePlan] = None  # gather xp rows by hpl_row
+    cl: Optional[segmm.TilePlan] = None  # segsum slot contribs by hpl_col
+    schur: Optional[segmm.SchurPlan] = None
+    pairs: Optional[segmm.TilePlan] = None  # combine schur windows by gid
+
+
+class MXUConsts(NamedTuple):
+    """Device-side constants for the MXU path (padded, transposed layouts)."""
+
+    # per-edge segment ids (padding/fixed -> -1)
+    pose_acc_m: jnp.ndarray
+    pose_acc_s: jnp.ndarray
+    lm_acc_m: jnp.ndarray
+    lm_acc_s: jnp.ndarray
+    e2h_m: jnp.ndarray
+    e2h_s: jnp.ndarray
+    # slot ids (padding -> -1)
+    hpl_row: jnp.ndarray  # [hpl_pad]
+    hpl_col: jnp.ndarray  # [hpl_pad]
+    # tile plan bases
+    bb_hll_m: jnp.ndarray
+    bb_hll_s: jnp.ndarray
+    bb_hpl_m: jnp.ndarray
+    bb_hpl_s: jnp.ndarray
+    bb_ivs: jnp.ndarray
+    bb_xpg: jnp.ndarray
+    bb_cl: jnp.ndarray
+    # schur plan arrays
+    sc_sb: jnp.ndarray
+    sc_li: jnp.ndarray
+    sc_lj: jnp.ndarray
+    sc_lk: jnp.ndarray
+    sc_gid: jnp.ndarray  # [C*kwin] global Hsc block per window lane
+    bb_pairs: jnp.ndarray
+    # dense scatter pattern
+    hsc_row: jnp.ndarray  # [n_hsc]
+    hsc_col: jnp.ndarray
+
+
+def plan_mxu(s: BAStructure) -> Tuple[MXUPlans, Optional[MXUConsts]]:
+    """Build all window plans + padded device constants.  Host, once.
+
+    Paddings and plans are interdependent (a plan's window coverage can
+    exceed the round-up padding), so iterate to a fixpoint (2 passes in
+    practice).
+    """
+    num_p, num_l, n_hpl = s.num_p, s.num_l, s.n_hpl
+    if num_p == 0 or num_l == 0 or n_hpl == 0:
+        return MXUPlans(False, 0, 0, 0, 0), None
+
+    def pad_ids(ids, n, valid_mask=None):
+        out = np.full(n, -1, np.int32)
+        v = np.asarray(ids, np.int64)
+        if valid_mask is None:
+            out[: v.size] = v
+        else:
+            out[: v.size] = np.where(valid_mask, v, -1)
+        return out
+
+    Em, Es = s.mono.count, s.stereo.count
+    sc = segmm.plan_schur(
+        s.mul_i.astype(np.int64), s.mul_j.astype(np.int64), s.mul_k.astype(np.int64),
+        n_hpl, s.n_hsc,
+    )
+    e_pad_m = max(_round_up(Em, 1024), 1024)
+    e_pad_s = max(_round_up(Es, 1024), 1024)
+    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad)
+    p_src_pad = max(_round_up(num_p + 1, 1024), 1024)
+
+    for _ in range(4):
+        lm_m = pad_ids(s.mono.lm_idx, e_pad_m, s.mono.lm_idx < num_l)
+        lm_s = pad_ids(s.stereo.lm_idx, e_pad_s, s.stereo.lm_idx < num_l)
+        e2h_m = pad_ids(s.edge2hpl[:Em], e_pad_m, s.edge2hpl[:Em] < n_hpl)
+        e2h_s = pad_ids(s.edge2hpl[Em:], e_pad_s, s.edge2hpl[Em:] < n_hpl)
+        hcol = pad_ids(s.hpl_col, hpl_pad)
+        hrow = pad_ids(s.hpl_row, hpl_pad)
+
+        hll_m = segmm.plan_tiles(lm_m, num_l)
+        hll_s = segmm.plan_tiles(lm_s, num_l)
+        hpl_m = segmm.plan_tiles(e2h_m, hpl_pad)
+        hpl_s = segmm.plan_tiles(e2h_s, hpl_pad)
+        ivs = segmm.plan_gather_tiles(hcol, num_l)
+        xpg = segmm.plan_gather_tiles(hrow, num_p, block=p_src_pad, max_blocks=1)
+        cl = segmm.plan_tiles(hcol, num_l)
+
+        need_em = max(e_pad_m, _round_up(max(hll_m.n_pad, hpl_m.n_pad), 1024))
+        need_es = max(e_pad_s, _round_up(max(hll_s.n_pad, hpl_s.n_pad), 1024))
+        need_hpl = max(hpl_pad, _round_up(max(
+            ivs.num_tiles * ivs.tile, xpg.num_tiles * xpg.tile, cl.n_pad), 1024))
+        if (need_em, need_es, need_hpl) == (e_pad_m, e_pad_s, hpl_pad):
+            break
+        e_pad_m, e_pad_s, hpl_pad = need_em, need_es, need_hpl
+
+    pairs = segmm.plan_tiles(sc.gid, s.n_hsc, max_blocks=64) if sc.ok else None
+    all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
+    ok = all(p.ok for p in all_plans) and sc.ok and pairs is not None and pairs.ok
+    # gather id arrays must exactly match their output geometry
+    ok = ok and ivs.num_tiles * ivs.tile == hpl_pad == xpg.num_tiles * xpg.tile
+
+    plans = MXUPlans(
+        ok, e_pad_m, e_pad_s, hpl_pad, p_src_pad,
+        hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pairs,
+    )
+    if not ok:
+        return plans, None
+
+    # NumPy arrays: the engine uploads the whole Consts pytree in ONE
+    # device_put (each separate transfer costs ~30ms tunnel latency).
+    i32 = np.int32
+    consts = MXUConsts(
+        pose_acc_m=pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p),
+        pose_acc_s=pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p),
+        lm_acc_m=lm_m,
+        lm_acc_s=lm_s,
+        e2h_m=e2h_m,
+        e2h_s=e2h_s,
+        hpl_row=hrow,
+        hpl_col=hcol,
+        bb_hll_m=np.asarray(hll_m.base_block, i32),
+        bb_hll_s=np.asarray(hll_s.base_block, i32),
+        bb_hpl_m=np.asarray(hpl_m.base_block, i32),
+        bb_hpl_s=np.asarray(hpl_s.base_block, i32),
+        bb_ivs=np.asarray(ivs.base_block, i32),
+        bb_xpg=np.asarray(xpg.base_block, i32),
+        bb_cl=np.asarray(cl.base_block, i32),
+        sc_sb=np.asarray(sc.sb, i32),
+        sc_li=np.asarray(sc.li, i32),
+        sc_lj=np.asarray(sc.lj, i32),
+        sc_lk=np.asarray(sc.lk, i32),
+        sc_gid=np.asarray(sc.gid, i32),
+        bb_pairs=np.asarray(pairs.base_block, i32),
+        hsc_row=np.asarray(s.hsc_row, i32),
+        hsc_col=np.asarray(s.hsc_col, i32),
+    )
+    return plans, consts
+
+
+# ---------------------------------------------------------------------------
+# device-side phases
+# ---------------------------------------------------------------------------
+
+
+def _terms_T(qs, cams, err, Xc, ec, mdim, kernel, e_pad):
+    """Per-edge weighted GN terms, transposed + lane-padded:
+    ([42,e_pad],[12,e_pad],[18,e_pad])."""
+    Hpp_e, bp_e, Hll_e, bl_e, Hpl_e = assembly.quadratic_form_terms(
+        qs, cams, err, Xc, ec, mdim, kernel
+    )
+    E = Hpp_e.shape[0]
+    v42 = jnp.concatenate([Hpp_e.reshape(E, 36), bp_e], axis=1).T
+    v12 = jnp.concatenate([Hll_e.reshape(E, 9), bl_e], axis=1).T
+    v18 = Hpl_e.reshape(E, 18).T
+    pad = ((0, 0), (0, e_pad - E))
+    return jnp.pad(v42, pad), jnp.pad(v12, pad), jnp.pad(v18, pad)
+
+
+def build_system_mxu(qs, cams, num_p, num_l, mono, stereo, err2, Xc2, err3, Xc3,
+                     kernels, plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """Returns (HppT [42,P], HllT [12,L], HplT [18,hpl_pad]).
+
+    HppT rows: Hpp row-major 36 then bp 6.  HllT rows: Hll 9 then bl 3.
+    HplT rows: Hpl row-major (i*3+k).
+    """
+    outs = []
+    for ec, err, Xc, mdim, kern, e_pad, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl in (
+        (mono, err2, Xc2, 2, kernels[0], plans.e_pad_m, mc.pose_acc_m, mc.lm_acc_m,
+         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m),
+        (stereo, err3, Xc3, 3, kernels[1], plans.e_pad_s, mc.pose_acc_s, mc.lm_acc_s,
+         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s),
+    ):
+        if ec.meas.shape[0] == 0:
+            continue
+        v42, v12, v18 = _terms_T(qs, cams, err, Xc, ec, mdim, kern, e_pad)
+        HppT = segmm.accum_segsum(v42, pose_ids, num_p, interpret=interpret)
+        HllT = segmm.tiled_segsum(v12, lm_ids, num_l, hll_p, bb_hll, interpret=interpret)
+        HplT = segmm.tiled_segsum(v18, e2h, plans.hpl_pad, hpl_p, bb_hpl, interpret=interpret)
+        outs.append((HppT, HllT, HplT))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(a + b for a, b in zip(outs[0], outs[1]))
+
+
+def _sym3x3_inv_rows(h: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form symmetric 3x3 inverse over row-major rows [9, L].
+
+    Term-for-term identical to ops.smallmat.sym3x3_inv (reference:
+    Sym3x3Inv, src/cuda_block_solver.cu:417-452) so the MXU and XLA paths
+    agree to rounding even on near-singular landmarks."""
+    a00, a01, a02 = h[0], h[1], h[2]
+    a11, a12 = h[4], h[5]
+    a22 = h[8]
+    det = (
+        a00 * a11 * a22
+        + a01 * a12 * a02
+        + a02 * a01 * a12
+        - a00 * a12 * a12
+        - a02 * a11 * a02
+        - a01 * a01 * a22
+    )
+    inv_det = 1.0 / det
+    b00 = inv_det * (a11 * a22 - a12 * a12)
+    b01 = inv_det * (a02 * a12 - a01 * a22)
+    b11 = inv_det * (a00 * a22 - a02 * a02)
+    b02 = inv_det * (a01 * a12 - a02 * a11)
+    b12 = inv_det * (a02 * a01 - a00 * a12)
+    b22 = inv_det * (a00 * a11 - a01 * a01)
+    return jnp.stack([b00, b01, b02, b01, b11, b12, b02, b12, b22])
+
+
+def prepare_factors_mxu(HppT, HllT, HplT, lam, num_p, num_l,
+                        plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """Damped invHll, W = Hpl invHll, bsc = bp - W bl.  All transposed.
+
+    Returns (iv9 [9,L], W [18,hpl_pad], bscT [6,P], g12 [12,hpl_pad]).
+    """
+    hll_d = HllT[:9].at[jnp.asarray([0, 4, 8])].add(lam)
+    # near-singular landmarks (few observations) make the fp32 closed-form
+    # determinant cancel catastrophically; the inverse is tiny work on [9,L]
+    # so compute it in fp64 when available (emulated on TPU, still cheap)
+    if jax.config.jax_enable_x64 and hll_d.dtype != jnp.float64:
+        iv9 = _sym3x3_inv_rows(hll_d.astype(jnp.float64)).astype(hll_d.dtype)
+    else:
+        iv9 = _sym3x3_inv_rows(hll_d)
+    src12 = jnp.concatenate([iv9, HllT[9:12]], axis=0)  # [12, L]
+    # pad source lanes: >= plan window coverage AND a block multiple
+    src_pad = max(plans.ivs.n_pad, _round_up(src12.shape[1], plans.ivs.block))
+    src12 = jnp.pad(src12, ((0, 0), (0, src_pad - src12.shape[1])))
+    g12 = segmm.tiled_gather(src12, mc.hpl_col, plans.ivs, mc.bb_ivs, interpret=interpret)
+    W_rows = []
+    for i in range(6):
+        for m in range(3):
+            W_rows.append(
+                HplT[3 * i + 0] * g12[0 + m]
+                + HplT[3 * i + 1] * g12[3 + m]
+                + HplT[3 * i + 2] * g12[6 + m]
+            )
+    W = jnp.stack(W_rows)  # [18, hpl_pad]
+    wbl = jnp.stack([
+        W[3 * i + 0] * g12[9] + W[3 * i + 1] * g12[10] + W[3 * i + 2] * g12[11]
+        for i in range(6)
+    ])  # [6, hpl_pad]
+    # slot ids for the accumulate: hpl_row over padded slots (invalid -> -1)
+    bsc_sub = segmm.accum_segsum(wbl, mc.hpl_row, num_p, interpret=interpret)
+    bscT = HppT[36:42] - bsc_sub
+    return iv9, W, bscT, g12
+
+
+def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
+                    plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
+    """Dense padded Schur matrix from the fused pair-product kernel."""
+    win = segmm.schur_fused(
+        W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
+        interpret=interpret,
+    )  # [36, C*kwin] per-chunk windows
+    n_hsc = mc.hsc_row.shape[0]
+    wpad = max(plans.pairs.n_pad, win.shape[1])
+    win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
+    pairs = segmm.tiled_segsum(
+        win, jnp.pad(mc.sc_gid, (0, wpad - mc.sc_gid.shape[0]), constant_values=-1),
+        n_hsc, plans.pairs, mc.bb_pairs, interpret=interpret
+    )  # [36, n_hsc]
+    blocks = pairs.T.reshape(n_hsc, 6, 6).astype(dtype)
+    Hpp_d = HppT[:36].T.reshape(num_p, 6, 6).astype(dtype)
+    Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=dtype)
+
+    D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
+    diag = jnp.arange(num_p)
+    D = D.at[diag, :, diag, :].add(Hpp_d)
+    D = D.at[mc.hsc_row, :, mc.hsc_col, :].add(-blocks)
+    offdiag = (mc.hsc_row != mc.hsc_col)[:, None, None]
+    mirrored = jnp.where(offdiag, -jnp.swapaxes(blocks, -1, -2), jnp.zeros_like(blocks))
+    D = D.at[mc.hsc_col, :, mc.hsc_row, :].add(mirrored)
+    n = 6 * pad_blocks
+    Dm = D.reshape(n, n)
+    pad_diag = jnp.concatenate(
+        [jnp.zeros(6 * num_p, dtype), jnp.ones(n - 6 * num_p, dtype)]
+    )
+    return Dm + jnp.diag(pad_diag)
+
+
+def back_substitute_mxu(iv9, HllT, HplT, g12, xp, num_l,
+                        plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """xl = invHll (bl - Hpl^T xp) in transposed layout.  Returns [L, 3]."""
+    num_p = xp.shape[0]
+    xpT = jnp.zeros((6, plans.xpg.n_pad), xp.dtype).at[:, :num_p].set(xp.T)
+    xpg = segmm.tiled_gather(xpT, mc.hpl_row, plans.xpg, mc.bb_xpg, interpret=interpret)
+    contrib = jnp.stack([
+        HplT[0 + k] * xpg[0] + HplT[3 + k] * xpg[1] + HplT[6 + k] * xpg[2]
+        + HplT[9 + k] * xpg[3] + HplT[12 + k] * xpg[4] + HplT[15 + k] * xpg[5]
+        for k in range(3)
+    ])  # [3, hpl_pad]
+    red = segmm.tiled_segsum(contrib, mc.hpl_col, num_l, plans.cl, mc.bb_cl,
+                             interpret=interpret)
+    clT = HllT[9:12] - red
+    xlT = jnp.stack([
+        iv9[3 * m + 0] * clT[0] + iv9[3 * m + 1] * clT[1] + iv9[3 * m + 2] * clT[2]
+        for m in range(3)
+    ])
+    return xlT.T
+
+
+def max_diagonal_T(HppT, HllT):
+    """max over block-diagonal entries from the transposed system arrays."""
+    mp = jnp.max(HppT[jnp.asarray([0, 7, 14, 21, 28, 35])])
+    ml = jnp.max(HllT[jnp.asarray([0, 4, 8])])
+    return jnp.maximum(jnp.maximum(mp, ml), 0.0)

@@ -79,6 +79,13 @@ class BAStructure:
     lk_K: int = 0
     lk_pose: np.ndarray = None  # [num_l * K] int32
     edge2lk: np.ndarray = None  # [E2+E3] int32; num_l*K if edge has no slot
+    # internal edge order (edges are sorted by (landmark, pose) for the MXU
+    # window plans): internal_edges = original_edges[perm].  Per-edge outputs
+    # (chiSquared) must be scattered back through these.
+    mono_perm: np.ndarray = None  # [E2] int64
+    stereo_perm: np.ndarray = None  # [E3] int64
+    # active-landmark renumbering applied for pose-locality (old -> new)
+    lm_rank: np.ndarray = None  # [num_l] int64
 
     @property
     def n_hpl(self) -> int:
@@ -272,7 +279,52 @@ def build_structure(
 
     mono = gather(mono_edges, 2)
     stereo = gather(stereo_edges, 3)
-    return _finish_structure(num_p, num_l, total_p, total_l, qs, ts, cams, Xws, mono, stereo)
+    s = _finish_structure(num_p, num_l, total_p, total_l, qs, ts, cams, Xws, mono, stereo)
+    # _finish_structure renumbers active landmarks for locality; update the
+    # vertices' internal indices so finalize() writes back to the right rows
+    for v in active_l:
+        v.iL = int(s.lm_rank[v.iL])
+    return s
+
+
+def _locality_reorder(num_l, mono: EdgeArrays, stereo: EdgeArrays, Xws):
+    """Renumber ACTIVE landmarks by their min observing pose and sort each
+    edge type by (new landmark, pose).
+
+    Internal ordering only (invisible through the public API — callers keep
+    the id<->index maps).  This gives the Schur mul-triplets the
+    pose-locality the MXU window kernels need (solver/mxu.py): without it,
+    a chunk of landmark-sorted triplets scatters across the whole Hsc block
+    range.  Returns (rank[num_l], mono_perm, stereo_perm, Xws)."""
+    minp = np.full(num_l, np.int64(1) << 60, np.int64)
+    for ec in (mono, stereo):
+        li = np.asarray(ec.lm_idx, np.int64)
+        m = li < num_l
+        if m.any():
+            np.minimum.at(minp, li[m], np.asarray(ec.pose_idx, np.int64)[m])
+    order = np.argsort(minp, kind="stable")  # new -> old
+    rank = np.empty(num_l, np.int64)
+    rank[order] = np.arange(num_l)
+
+    def remap_sort(ec: EdgeArrays):
+        li = np.asarray(ec.lm_idx, np.int64)
+        new_li = np.where(li < num_l, rank[np.minimum(li, max(num_l - 1, 0))], li)
+        perm = np.lexsort((ec.pose_idx, new_li))
+        return (
+            EdgeArrays(
+                ec.measurements[perm],
+                ec.omegas[perm],
+                ec.pose_idx[perm],
+                new_li[perm].astype(np.int32),
+            ),
+            perm,
+        )
+
+    mono2, mono_perm = remap_sort(mono)
+    stereo2, stereo_perm = remap_sort(stereo)
+    Xws = Xws.copy()
+    Xws[:num_l] = Xws[:num_l][order]
+    return rank, mono2, mono_perm, stereo2, stereo_perm, Xws
 
 
 def _finish_structure(
@@ -293,6 +345,15 @@ def _finish_structure(
     available; the NumPy code below is the reference fallback and produces
     identical output (asserted in tests/test_structure.py).
     """
+    if num_l:
+        lm_rank, mono, mono_perm, stereo, stereo_perm, Xws = _locality_reorder(
+            num_l, mono, stereo, Xws
+        )
+    else:
+        lm_rank = np.zeros(0, np.int64)
+        mono_perm = np.arange(mono.count, dtype=np.int64)
+        stereo_perm = np.arange(stereo.count, dtype=np.int64)
+
     e_pi = np.concatenate([mono.pose_idx, stereo.pose_idx])
     e_li = np.concatenate([mono.lm_idx, stereo.lm_idx])
 
@@ -324,6 +385,9 @@ def _finish_structure(
             lk_K=lk_K,
             lk_pose=lk_pose,
             edge2lk=edge2lk,
+            mono_perm=mono_perm,
+            stereo_perm=stereo_perm,
+            lm_rank=lm_rank,
         )
 
     # --- Hpl block-CSC (deduplicated) ------------------------------------
@@ -401,4 +465,7 @@ def _finish_structure(
         lk_K=lk_K,
         lk_pose=lk_pose,
         edge2lk=edge2lk,
+        mono_perm=mono_perm,
+        stereo_perm=stereo_perm,
+        lm_rank=lm_rank,
     )

@@ -1,0 +1,87 @@
+"""MXU solve path (solver/mxu.py) vs the XLA path: identical problems must
+produce matching systems, solves and LM trajectories.  Runs the Pallas
+kernels in interpreter mode so this works on CPU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cuba_tpu.config import BAConfig
+from cuba_tpu.io import synthetic
+from cuba_tpu.ops import robust
+from cuba_tpu.solver.engine import BlockSolverEngine
+from cuba_tpu.solver.structure import build_structure_from_arrays
+
+
+def _engines(num_poses=10, num_landmarks=90, seed=5):
+    prob = synthetic.generate(num_poses=num_poses, num_landmarks=num_landmarks, seed=seed)
+    cams = np.tile(prob.cam, (num_poses, 1))
+    fp = np.zeros(num_poses, bool)
+    fp[prob.fixed_poses] = True
+    fl = np.zeros(num_landmarks, bool)
+    s = build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fp, fl,
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    e_mxu = BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu="interpret"))
+    e_xla = BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu="off"))
+    return e_mxu, e_xla
+
+
+class TestMXUPath:
+    def test_mxu_plans_ok(self):
+        e_mxu, _ = _engines()
+        assert e_mxu.use_mxu, "MXU plans rejected a well-behaved synthetic problem"
+
+    def test_build_system_matches(self):
+        e_mxu, e_xla = _engines()
+        st, cm = e_mxu.state, e_mxu.consts
+        err2, Xc2, err3, Xc3, _ = e_xla._residuals_and_chi(e_xla.state, e_xla.consts)
+        HppT, HllT, HplT = e_mxu._build(st, cm, err2, Xc2, err3, Xc3)
+        Hpp, bp, Hll, bl, Hpl = e_xla._build(e_xla.state, e_xla.consts, err2, Xc2, err3, Xc3)
+        P, L, nh = e_xla.num_p, e_xla.num_l, e_xla.structure.n_hpl
+        np.testing.assert_allclose(
+            np.asarray(HppT[:36].T.reshape(P, 6, 6)), np.asarray(Hpp), rtol=2e-5, atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(HppT[36:].T), np.asarray(bp), rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(HllT[:9].T.reshape(L, 3, 3)), np.asarray(Hll), rtol=2e-5, atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(HllT[9:].T), np.asarray(bl), rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(HplT[:, :nh].T.reshape(nh, 6, 3)), np.asarray(Hpl), rtol=2e-5, atol=2e-4
+        )
+        assert float(jnp.abs(HplT[:, nh:]).max()) == 0.0
+
+    def test_solve_matches(self):
+        # strong damping keeps the system well-conditioned so the two fp32
+        # paths agree elementwise; at tiny lambda single-observation
+        # landmarks have cond(Hll)~1e7 and ANY fp32 evaluation-order change
+        # is amplified arbitrarily (both paths are equally "right" there —
+        # trajectory equality below is the behavioral check).
+        e_mxu, e_xla = _engines()
+        err = e_xla._residuals_and_chi(e_xla.state, e_xla.consts)[:4]
+        sys_m = e_mxu._build(e_mxu.state, e_mxu.consts, *err)
+        sys_x = e_xla._build(e_xla.state, e_xla.consts, *err)
+        lam = jnp.float32(1.0)
+        xp_m, xl_m, ok_m = e_mxu._solve(sys_m, lam, e_mxu.consts)
+        xp_x, xl_x, ok_x = e_xla._solve(sys_x, lam, e_xla.consts)
+        assert bool(ok_m) and bool(ok_x)
+        sp = float(jnp.abs(xp_x).max())
+        sl = float(jnp.abs(xl_x).max())
+        np.testing.assert_allclose(np.asarray(xp_m), np.asarray(xp_x), rtol=2e-2, atol=1e-3 * sp)
+        np.testing.assert_allclose(np.asarray(xl_m), np.asarray(xl_x), rtol=2e-2, atol=1e-3 * sl)
+
+    def test_lm_trajectory_matches(self):
+        e_mxu, e_xla = _engines()
+        r_m = e_mxu.optimize(e_mxu.state, 5)
+        r_x = e_xla.optimize(e_xla.state, 5)
+        n = min(int(r_m.niters), int(r_x.niters))
+        assert n >= 3
+        chis_m = np.asarray(r_m.chis)[:n]
+        chis_x = np.asarray(r_x.chis)[:n]
+        np.testing.assert_allclose(chis_m, chis_x, rtol=5e-3)
+        assert chis_m[-1] <= chis_m[0]

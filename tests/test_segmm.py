@@ -127,13 +127,21 @@ class TestSchurFused:
         W[:, n_hpl:] = 0
         G[:, n_hpl:] = 0
         Wd, Gd = jnp.asarray(W), jnp.asarray(G)
-        out = segmm.schur_fused(
+        win = segmm.schur_fused(
             Wd, Gd, plan,
-            jnp.asarray(plan.sb), jnp.asarray(plan.kb),
+            jnp.asarray(plan.sb),
             jnp.asarray(plan.li), jnp.asarray(plan.lj), jnp.asarray(plan.lk),
             interpret=True,
         )
+        # combine the per-chunk windows (second stage, as in solver/mxu.py)
+        pplan = segmm.plan_tiles(plan.gid, n_hsc, tile=256, block=512)
+        assert pplan.ok
+        wpad = max(pplan.n_pad, win.shape[1])
+        winp = jnp.asarray(np.pad(np.asarray(win), ((0, 0), (0, wpad - win.shape[1]))))
+        gidp = jnp.asarray(np.pad(plan.gid, (0, wpad - plan.gid.size), constant_values=-1))
+        out = segmm.tiled_segsum(winp, gidp, n_hsc, pplan,
+                                 jnp.asarray(pplan.base_block), interpret=True)
         ref = segmm.schur_fused_xla(Wd, Gd, jnp.asarray(mul_i), jnp.asarray(mul_j),
                                     jnp.asarray(mul_k), n_hsc)
-        np.testing.assert_allclose(np.asarray(out)[:, :n_hsc], np.asarray(ref),
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)

@@ -52,8 +52,10 @@ class TestStructure:
         assert (s.num_l, s.total_l) == (3, 4)  # lms 1,4,7 active; 3 fixed
         # active in ascending id order: pose 2 -> iP 0, pose 9 -> iP 1, pose 5 -> iP 2
         np.testing.assert_array_equal(s.ts[:, 0], [2, 9, 5])
-        # landmarks: 1->0, 4->1, 7->2, 3->3
-        np.testing.assert_array_equal(s.Xws[:, 0], [1, 4, 7, 3])
+        # active landmarks are ordered by min observing pose (locality
+        # renumbering for the MXU window plans), ties by id:
+        # lm1 (pose iP0), lm7 (pose iP0), lm4 (pose iP1) -> [1, 7, 4]; fixed after
+        np.testing.assert_array_equal(s.Xws[:, 0], [1, 7, 4, 3])
 
     def test_edge_gather_drops_both_fixed(self):
         s = compiled(tiny_graph())
@@ -64,22 +66,23 @@ class TestStructure:
 
     def test_hpl_pattern(self):
         s = compiled(tiny_graph())
-        # both-free pairs: (p2,l1)=(0,0), (p9,l1)=(1,0), (p2,l7)=(0,2), (p9,l4)=(1,1)
+        # landmark renumbering: lm1->0, lm7->1, lm4->2.  Both-free pairs:
+        # (p2,l1)=(0,0), (p9,l1)=(1,0), (p2,l7)=(0,1), (p9,l4)=(1,2)
         assert s.n_hpl == 4
         # sorted by (col, row)
         np.testing.assert_array_equal(s.hpl_col, [0, 0, 1, 2])
-        np.testing.assert_array_equal(s.hpl_row, [0, 1, 1, 0])
-        # edge2hpl: mono edges 0..3 then stereo 4..5
+        np.testing.assert_array_equal(s.hpl_row, [0, 1, 0, 1])
+        # edge2hpl follows the internal (landmark, pose)-sorted edge order
         e2h = s.edge2hpl
-        assert e2h[0] == 0 and e2h[1] == 1 and e2h[2] == 3
+        assert e2h[0] == 0 and e2h[1] == 1 and e2h[2] == 2
         assert e2h[3] == s.n_hpl  # fixed-lm edge: no slot
-        assert e2h[4] == 2
+        assert e2h[4] == 3
         assert e2h[5] == s.n_hpl  # fixed-pose edge: no slot
 
     def test_hsc_pattern_and_triplets(self):
         s = compiled(tiny_graph())
         # lm col 0 seen by poses {0,1} -> pairs (0,0),(0,1),(1,1)
-        # lm col 1 seen by {1} -> (1,1); lm col 2 by {0} -> (0,0)
+        # lm col 1 (old lm7) seen by {0} -> (0,0); col 2 (old lm4) by {1} -> (1,1)
         assert s.n_hsc == 3
         np.testing.assert_array_equal(s.hsc_row, [0, 0, 1])
         np.testing.assert_array_equal(s.hsc_col, [0, 1, 1])
@@ -164,53 +167,58 @@ class TestNativeParity:
     the exact same structure as the NumPy fallback."""
 
     def _both(self, e_pi, e_li, num_p, num_l):
+        """Run _finish_structure twice — with the C++ compiler and with the
+        NumPy fallback — on identical inputs and return both structures."""
         from cuba_tpu import native
         from cuba_tpu.solver import structure as st
 
-        nat = native.symbolic_compile(e_pi, e_li, num_p, num_l)
-        if nat is None:
+        if native.get_lib() is None:
             pytest.skip("native toolchain unavailable")
-        # numpy fallback: temporarily disable native dispatch
-        orig = native.symbolic_compile
-        native.symbolic_compile = lambda *a, **k: None
-        try:
+
+        def run():
             mono = st.EdgeArrays(np.zeros((len(e_pi), 2)), np.ones(len(e_pi)),
                                  np.asarray(e_pi, np.int32), np.asarray(e_li, np.int32))
             stereo = st.EdgeArrays(np.zeros((0, 3)), np.zeros(0),
                                    np.zeros(0, np.int32), np.zeros(0, np.int32))
-            s = st._finish_structure(num_p, num_l, num_p, num_l,
-                                     np.zeros((num_p, 4)), np.zeros((num_p, 3)),
-                                     np.zeros((num_p, 5)), np.zeros((num_l, 3)),
-                                     mono, stereo)
+            return st._finish_structure(num_p, num_l, num_p, num_l,
+                                        np.zeros((num_p, 4)), np.zeros((num_p, 3)),
+                                        np.zeros((num_p, 5)), np.zeros((num_l, 3)),
+                                        mono, stereo)
+
+        s_native = run()
+        orig = native.symbolic_compile
+        native.symbolic_compile = lambda *a, **k: None
+        try:
+            s_numpy = run()
         finally:
             native.symbolic_compile = orig
-        return nat, s
+        return s_native, s_numpy
 
     def test_random_graph_parity(self):
         rng = np.random.default_rng(42)
         num_p, num_l, E = 17, 61, 400
         e_pi = rng.integers(0, num_p + 3, E).astype(np.int32)  # some >= num_p (fixed)
         e_li = rng.integers(0, num_l + 5, E).astype(np.int32)
-        nat, s = self._both(e_pi, e_li, num_p, num_l)
-        (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col,
-         mul_i, mul_j, mul_k, K, lk_pose, edge2lk) = nat
-        assert np.array_equal(hpl_row, s.hpl_row)
-        assert np.array_equal(hpl_col, s.hpl_col)
-        assert np.array_equal(edge2hpl, s.edge2hpl)
-        assert np.array_equal(hsc_row, s.hsc_row)
-        assert np.array_equal(hsc_col, s.hsc_col)
-        assert np.array_equal(mul_k, s.mul_k)
-        a = np.stack([mul_k, mul_i, mul_j])
+        n, s = self._both(e_pi, e_li, num_p, num_l)
+        assert np.array_equal(n.hpl_row, s.hpl_row)
+        assert np.array_equal(n.hpl_col, s.hpl_col)
+        assert np.array_equal(n.edge2hpl, s.edge2hpl)
+        assert np.array_equal(n.hsc_row, s.hsc_row)
+        assert np.array_equal(n.hsc_col, s.hsc_col)
+        assert np.array_equal(n.mul_k, s.mul_k)
+        a = np.stack([n.mul_k, n.mul_i, n.mul_j])
         b = np.stack([s.mul_k, s.mul_i, s.mul_j])
         assert np.array_equal(a[:, np.lexsort(a[::-1])], b[:, np.lexsort(b[::-1])])
-        assert K == s.lk_K
-        assert np.array_equal(lk_pose, s.lk_pose)
-        assert np.array_equal(edge2lk, s.edge2lk)
+        assert n.lk_K == s.lk_K
+        assert np.array_equal(n.lk_pose, s.lk_pose)
+        assert np.array_equal(n.edge2lk, s.edge2lk)
+        assert np.array_equal(n.mono_perm, s.mono_perm)
+        assert np.array_equal(n.lm_rank, s.lm_rank)
 
     def test_empty_and_degenerate(self):
         for num_p, num_l, E in ((5, 0, 0), (0, 5, 0), (3, 4, 0)):
             e_pi = np.zeros(E, np.int32)
             e_li = np.zeros(E, np.int32)
-            nat, s = self._both(e_pi, e_li, num_p, num_l)
-            assert nat[0].size == s.hpl_row.size == 0
-            assert nat[8] == s.lk_K
+            n, s = self._both(e_pi, e_li, num_p, num_l)
+            assert n.hpl_row.size == s.hpl_row.size == 0
+            assert n.lk_K == s.lk_K
