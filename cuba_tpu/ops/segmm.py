@@ -45,9 +45,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
+# Marker for the one-hot dot: Mosaic has no per-operand precision, so we
+# split the VALUE operand into a bf16 triple manually (3 DEFAULT-precision
+# MXU passes, fp32-exact because the one-hot factor is exact in bf16) —
+# half the cost of Precision.HIGHEST's 6 passes.
+ONEHOT_PREC = "onehot_bf16x3"
 
 
 def _dot(a, b, precision):
+    if precision == ONEHOT_PREC:
+        bb = b.astype(jnp.bfloat16)
+        a1 = a.astype(jnp.bfloat16)
+        r = a - a1.astype(jnp.float32)
+        a2 = r.astype(jnp.bfloat16)
+        a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(a1, bb, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(a2, bb, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(a3, bb, dims, preferred_element_type=jnp.float32)
+        return out
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), precision=precision,
         preferred_element_type=jnp.float32,
@@ -69,7 +85,7 @@ def accum_segsum(
     num_out: int,
     *,
     chunk: int = 1024,
-    precision=HIGHEST,
+    precision=ONEHOT_PREC,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[D, num_out] with out[:, s] = sum of vals[:, n] where ids[n]==s."""
@@ -207,7 +223,7 @@ def tiled_segsum(
     plan: TilePlan,
     base_block: jnp.ndarray,  # [num_tiles] int32 (device copy of plan.base_block)
     *,
-    precision=HIGHEST,
+    precision=ONEHOT_PREC,
     interpret: bool = False,
 ) -> jnp.ndarray:
     D, Np = vals.shape
@@ -264,7 +280,7 @@ def tiled_gather(
     base_block: jnp.ndarray,  # [num_tiles] int32
     *,
     num_out: Optional[int] = None,
-    precision=HIGHEST,
+    precision=ONEHOT_PREC,
     interpret: bool = False,
 ) -> jnp.ndarray:
     D, Sp = src.shape
@@ -332,14 +348,13 @@ class SchurPlan:
 
     chunk: int
     slot_block: int  # W/G input block size (window = 2 blocks)
-    kwin: int  # output window lanes (128-aligned)
+    kwin: int  # output lanes per chunk (compact block list, 128-aligned)
     num_chunks: int
     sb: np.ndarray  # [C] int32 block index into slot arrays
-    kb: np.ndarray  # [C] int32 element offset into Hsc blocks (128-aligned)
     li: np.ndarray  # [C*chunk] int32 local slot of W operand
     lj: np.ndarray  # [C*chunk] int32 local slot of G operand
-    lk: np.ndarray  # [C*chunk] int32 local output block
-    gid: np.ndarray  # [C*kwin] int32 global Hsc block per window lane (-1 pad)
+    lk: np.ndarray  # [C*chunk] int32 triplet's index in its chunk's block list
+    gid: np.ndarray  # [C*kwin] int32 global Hsc block per output lane (-1 pad)
     n_slot_pad: int  # required padded slot-array minor dim
     n_hsc_pad: int  # required padded output minor dim
     ok: bool
@@ -354,52 +369,65 @@ def plan_schur(
     *,
     chunk: int = 1024,
     slot_block: int = 512,
-    kwin: int = 1024,
+    max_kwin: int = 1024,
 ) -> SchurPlan:
     """Sort triplets by landmark (== by slot i, since slots are landmark-major)
-    and derive per-chunk windows.  ok=False when locality is insufficient."""
+    and derive per-chunk slot windows + COMPACT output block lists (each chunk
+    touches only ~chunk/avg_pairs_per_block distinct Hsc blocks; emitting a
+    dense id-window instead dilutes the combine stage ~25x).
+    ok=False when locality is insufficient."""
     n_mul = int(mul_i.size)
     order = np.argsort(mul_i, kind="stable")  # landmark-major slot order
     mi, mj, mk = mul_i[order], mul_j[order], mul_k[order]
     C = max((n_mul + chunk - 1) // chunk, 1)
     pad = C * chunk - n_mul
+    big = np.int64(1) << 40
     mi = np.concatenate([mi, np.full(pad, -1, np.int64)])
     mj = np.concatenate([mj, np.full(pad, -1, np.int64)])
     mk = np.concatenate([mk, np.full(pad, -1, np.int64)])
     mi2, mj2, mk2 = (a.reshape(C, chunk) for a in (mi, mj, mk))
     valid = mi2 >= 0
-    big = np.int64(1) << 40
     smin = np.where(valid, np.minimum(mi2, mj2), big).min(axis=1)
     smax = np.where(valid, np.maximum(mi2, mj2), -1).max(axis=1)
-    kmin = np.where(valid, mk2, big).min(axis=1)
-    kmax = np.where(valid, mk2, -1).max(axis=1)
     none = smax < 0
     smin[none] = 0
     smax[none] = 0
-    kmin[none] = 0
-    kmax[none] = 0
     sb = (smin // slot_block).astype(np.int32)
-    kb = ((kmin // 128) * 128).astype(np.int32)
-    # adapt the window to the data: oversized windows are mostly zeros and
-    # bloat the combine stage (gid locality degrades ~ kwin / blocks-per-chunk)
-    spread = int(np.max(kmax - kb)) if C else 0
-    kwin = min(kwin, max(_round_up(spread + 1, 128), 128))
-    ok = bool(
-        np.all(smax - sb.astype(np.int64) * slot_block < 2 * slot_block)
-        and spread < kwin
-    )
+    ok = bool(np.all(smax - sb.astype(np.int64) * slot_block < 2 * slot_block))
     li = np.where(valid, mi2 - sb[:, None].astype(np.int64) * slot_block, -1)
     lj = np.where(valid, mj2 - sb[:, None].astype(np.int64) * slot_block, -1)
-    lk = np.where(valid, mk2 - kb[:, None].astype(np.int64), -1)
-    # global Hsc block id per (chunk, window lane): the combine stage
-    # (tiled_segsum over the kernel's per-chunk windows) scatters with these
-    gid = kb[:, None].astype(np.int64) + np.arange(kwin)[None, :]
-    gid = np.where(gid < n_hsc, gid, -1)
+
+    # compact per-chunk block lists: sorted distinct mk per chunk
+    mk_sorted = np.sort(np.where(valid, mk2, big), axis=1)  # [C, chunk]
+    isnew = np.ones_like(mk_sorted, dtype=bool)
+    isnew[:, 1:] = mk_sorted[:, 1:] != mk_sorted[:, :-1]
+    isnew &= mk_sorted < big
+    counts = isnew.sum(axis=1)
+    kwin = min(max_kwin, max(_round_up(int(counts.max()) if C else 1, 128), 128))
+    ok = ok and bool(counts.max() <= kwin if C else True)
+    # gid[c, :counts[c]] = sorted distinct blocks of chunk c
+    gid = np.full((C, kwin), -1, np.int64)
+    if C and ok:
+        rank = np.cumsum(isnew, axis=1) - 1  # position among distinct
+        rows, cols = np.nonzero(isnew)
+        gid[rows, rank[rows, cols]] = mk_sorted[rows, cols]
+        # per-triplet local index: one global searchsorted over the row-wise
+        # sorted lists, made globally ascending with per-chunk offsets
+        stride = np.int64(n_hsc + 2)
+        offs = (np.arange(C, dtype=np.int64) * stride)[:, None]
+        flat = (np.where(gid >= 0, gid, stride - 1) + offs).reshape(-1)
+        queries = (np.where(valid, mk2, 0) + offs).reshape(-1)
+        lk = np.searchsorted(flat, queries).astype(np.int64) - (
+            np.repeat(np.arange(C, dtype=np.int64), chunk) * kwin
+        )
+        lk = np.where(valid.reshape(-1), lk, -1).reshape(C, chunk)
+    else:
+        lk = np.where(valid, mk2, -1)
     n_slot_pad = max((int(sb.max()) + 2) * slot_block if C else slot_block,
                      _round_up(n_hpl, slot_block))
-    n_hsc_pad = max(_round_up(n_hsc, 128), int(kb.max()) + kwin if C else kwin)
+    n_hsc_pad = _round_up(n_hsc, 128)
     return SchurPlan(
-        chunk, slot_block, kwin, C, sb, kb,
+        chunk, slot_block, kwin, C, sb,
         li.reshape(-1).astype(np.int32), lj.reshape(-1).astype(np.int32),
         lk.reshape(-1).astype(np.int32), gid.reshape(-1).astype(np.int32),
         n_slot_pad, n_hsc_pad, ok,
@@ -415,7 +443,7 @@ def schur_fused(
     lj: jnp.ndarray,
     lk: jnp.ndarray,
     *,
-    precision=HIGHEST,
+    precision=ONEHOT_PREC,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-chunk windowed pair products: sum over the chunk's triplets t of

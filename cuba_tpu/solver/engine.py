@@ -109,7 +109,7 @@ class BlockSolverEngine:
         self.mxu_plans = None
         mxu_consts = None
         if want_mxu:
-            plans, mxu_consts = mxu.plan_mxu(s)
+            plans, mxu_consts = mxu.plan_mxu(s, self.pad_blocks)
             if plans.ok:
                 self.mxu_plans = plans
             else:
@@ -189,7 +189,7 @@ class BlockSolverEngine:
         return (
             p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
             tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
-            tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.pairs),
+            tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
             (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
         )
 

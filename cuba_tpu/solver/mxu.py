@@ -53,7 +53,9 @@ class MXUPlans:
     xpg: Optional[segmm.TilePlan] = None  # gather xp rows by hpl_row
     cl: Optional[segmm.TilePlan] = None  # segsum slot contribs by hpl_col
     schur: Optional[segmm.SchurPlan] = None
-    pairs: Optional[segmm.TilePlan] = None  # combine schur windows by gid
+    pad_blocks: int = 0  # dense Schur block padding (engine's)
+    up: Optional[segmm.TilePlan] = None  # schur windows -> dense upper keys
+    lo: Optional[segmm.TilePlan] = None  # schur windows -> dense mirror keys
 
 
 class MXUConsts(NamedTuple):
@@ -82,14 +84,16 @@ class MXUConsts(NamedTuple):
     sc_li: jnp.ndarray
     sc_lj: jnp.ndarray
     sc_lk: jnp.ndarray
-    sc_gid: jnp.ndarray  # [C*kwin] global Hsc block per window lane
-    bb_pairs: jnp.ndarray
+    gkey_up: jnp.ndarray  # [C*kwin] dense row-major key per window lane
+    gkey_lo: jnp.ndarray  # [C*kwin] mirror key (-1 on diagonal blocks)
+    bb_up: jnp.ndarray
+    bb_lo: jnp.ndarray
     # dense scatter pattern
     hsc_row: jnp.ndarray  # [n_hsc]
     hsc_col: jnp.ndarray
 
 
-def plan_mxu(s: BAStructure) -> Tuple[MXUPlans, Optional[MXUConsts]]:
+def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
     """Build all window plans + padded device constants.  Host, once.
 
     Paddings and plans are interdependent (a plan's window coverage can
@@ -143,15 +147,37 @@ def plan_mxu(s: BAStructure) -> Tuple[MXUPlans, Optional[MXUConsts]]:
             break
         e_pad_m, e_pad_s, hpl_pad = need_em, need_es, need_hpl
 
-    pairs = segmm.plan_tiles(sc.gid, s.n_hsc, max_blocks=64) if sc.ok else None
+    # dense-formation combines: window lanes -> dense row-major block keys.
+    # Blocks are (row, col)-sorted so upper keys are monotone along lanes;
+    # mirror keys rely on band locality (checked by the plan).
+    PB = max(pad_blocks, 1)
+    up = lo = None
+    if sc.ok:
+        gid = sc.gid.astype(np.int64)
+        r = np.where(gid >= 0, s.hsc_row[np.maximum(gid, 0)], 0).astype(np.int64)
+        c = np.where(gid >= 0, s.hsc_col[np.maximum(gid, 0)], 0).astype(np.int64)
+        gkey_up = np.where(gid >= 0, r * PB + c, -1).astype(np.int32)
+        gkey_lo = np.where((gid >= 0) & (r != c), c * PB + r, -1).astype(np.int32)
+        # block=256: the combine's MXU cost is ~ num_tiles*n_blocks*block,
+        # and inputs are tiny compact lists — small blocks cut the floor 4x
+        up = segmm.plan_tiles(gkey_up, PB * PB, block=128, max_blocks=64)
+        lo = segmm.plan_tiles(gkey_lo, PB * PB, block=128, max_blocks=64)
+
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
-    ok = all(p.ok for p in all_plans) and sc.ok and pairs is not None and pairs.ok
+    ok = (
+        all(p.ok for p in all_plans)
+        and sc.ok
+        and up is not None
+        and up.ok
+        and lo.ok
+        and pad_blocks > 0
+    )
     # gather id arrays must exactly match their output geometry
     ok = ok and ivs.num_tiles * ivs.tile == hpl_pad == xpg.num_tiles * xpg.tile
 
     plans = MXUPlans(
         ok, e_pad_m, e_pad_s, hpl_pad, p_src_pad,
-        hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pairs,
+        hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pad_blocks, up, lo,
     )
     if not ok:
         return plans, None
@@ -179,8 +205,10 @@ def plan_mxu(s: BAStructure) -> Tuple[MXUPlans, Optional[MXUConsts]]:
         sc_li=np.asarray(sc.li, i32),
         sc_lj=np.asarray(sc.lj, i32),
         sc_lk=np.asarray(sc.lk, i32),
-        sc_gid=np.asarray(sc.gid, i32),
-        bb_pairs=np.asarray(pairs.base_block, i32),
+        gkey_up=gkey_up,
+        gkey_lo=gkey_lo,
+        bb_up=np.asarray(up.base_block, i32),
+        bb_lo=np.asarray(lo.base_block, i32),
         hsc_row=np.asarray(s.hsc_row, i32),
         hsc_col=np.asarray(s.hsc_col, i32),
     )
@@ -299,35 +327,46 @@ def prepare_factors_mxu(HppT, HllT, HplT, lam, num_p, num_l,
 
 def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
                     plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
-    """Dense padded Schur matrix from the fused pair-product kernel."""
+    """Dense padded Schur matrix, formed without any XLA scatter.
+
+    The fused kernel's per-chunk windows are combined straight into the
+    row-major dense BLOCK TABLE [36, PB*PB] by two tiled_segsum calls
+    (upper keys r*PB+c are monotone along window lanes; mirror keys rely
+    on band locality) — then one transpose yields the [6PB, 6PB] matrix.
+    The 11853-block XLA scatter this replaces cost ~45ms/attempt
+    (docs/PERF_NOTES.md)."""
+    assert pad_blocks == plans.pad_blocks
+    PB = pad_blocks
     win = segmm.schur_fused(
         W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
         interpret=interpret,
     )  # [36, C*kwin] per-chunk windows
-    n_hsc = mc.hsc_row.shape[0]
-    wpad = max(plans.pairs.n_pad, win.shape[1])
+    wpad = _round_up(max(plans.up.n_pad, plans.lo.n_pad, win.shape[1]), 1024)
     win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
-    pairs = segmm.tiled_segsum(
-        win, jnp.pad(mc.sc_gid, (0, wpad - mc.sc_gid.shape[0]), constant_values=-1),
-        n_hsc, plans.pairs, mc.bb_pairs, interpret=interpret
-    )  # [36, n_hsc]
-    blocks = pairs.T.reshape(n_hsc, 6, 6).astype(dtype)
+
+    def keys(k):
+        return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
+
+    up = segmm.tiled_segsum(win, keys(mc.gkey_up), PB * PB, plans.up, mc.bb_up,
+                            interpret=interpret)
+    lo = segmm.tiled_segsum(win, keys(mc.gkey_lo), PB * PB, plans.lo, mc.bb_lo,
+                            interpret=interpret)
+    # mirror blocks are transposed: row (i*6+j) of `lo` holds element (j,i)
+    perm36 = jnp.asarray(
+        np.arange(36).reshape(6, 6).T.reshape(-1), jnp.int32
+    )
+    m36 = -(up + lo[perm36])  # [36, PB*PB], block (p,q) at column p*PB+q
+    D = m36.reshape(6, 6, PB, PB).transpose(2, 0, 3, 1).astype(dtype)  # [PB,6,PB,6]
+    # add damped Hpp on the block diagonal (identity on padding blocks) via
+    # a fused masked broadcast — XLA scatter would cost ~20ms here
     Hpp_d = HppT[:36].T.reshape(num_p, 6, 6).astype(dtype)
     Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=dtype)
-
-    D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
-    diag = jnp.arange(num_p)
-    D = D.at[diag, :, diag, :].add(Hpp_d)
-    D = D.at[mc.hsc_row, :, mc.hsc_col, :].add(-blocks)
-    offdiag = (mc.hsc_row != mc.hsc_col)[:, None, None]
-    mirrored = jnp.where(offdiag, -jnp.swapaxes(blocks, -1, -2), jnp.zeros_like(blocks))
-    D = D.at[mc.hsc_col, :, mc.hsc_row, :].add(mirrored)
-    n = 6 * pad_blocks
-    Dm = D.reshape(n, n)
-    pad_diag = jnp.concatenate(
-        [jnp.zeros(6 * num_p, dtype), jnp.ones(n - 6 * num_p, dtype)]
-    )
-    return Dm + jnp.diag(pad_diag)
+    eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (PB - num_p, 6, 6))
+    diag_blocks = jnp.concatenate([Hpp_d, eye_pad], axis=0)  # [PB, 6, 6]
+    pq_eq = (jnp.arange(PB)[:, None] == jnp.arange(PB)[None, :])[:, None, :, None]
+    D = D + jnp.where(pq_eq, diag_blocks[:, :, None, :], jnp.zeros((), dtype))
+    n = 6 * PB
+    return D.reshape(n, n)
 
 
 def back_substitute_mxu(iv9, HllT, HplT, g12, xp, num_l,

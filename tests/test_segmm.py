@@ -120,7 +120,7 @@ class TestSchurFused:
         n_hsc = uniq.size
 
         plan = segmm.plan_schur(mul_i, mul_j, mul_k, n_hpl, n_hsc,
-                                chunk=256, slot_block=512, kwin=256)
+                                chunk=256, slot_block=512, max_kwin=256)
         assert plan.ok
         W = rng.standard_normal((18, plan.n_slot_pad)).astype(np.float32)
         G = rng.standard_normal((18, plan.n_slot_pad)).astype(np.float32)
