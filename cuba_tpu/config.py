@@ -56,7 +56,7 @@ class BAConfig:
     attenuation_min: float = 1.0 / 3.0
     attenuation_max: float = 2.0 / 3.0
     solver: str = "dense_cholesky"
-    refinement_steps: int = 2
+    refinement_steps: int = 1
     pcg_max_iterations: int = 250
     pcg_tol: float = 1e-10
     pose_block_pad: int = 128

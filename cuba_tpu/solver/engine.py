@@ -73,6 +73,7 @@ class LMResult(NamedTuple):
     chis: jnp.ndarray  # [niterations] F after each outer iteration
     niters: jnp.ndarray  # number of outer iterations actually run
     final_lambda: jnp.ndarray
+    nattempts: jnp.ndarray = np.int32(0)  # total damped solves (inner trials)
 
 
 def _pad_blocks(num_p: int) -> int:
@@ -246,21 +247,25 @@ class BlockSolverEngine:
         s = self.structure
         dt = self.dtype
         if self.use_mxu:
+            # optimization_barrier between stages: letting XLA fuse across
+            # them costs ~25ms/solve at kitti00 scale (worse scheduling /
+            # rematerialization around the 260MB dense intermediates)
+            OB = jax.lax.optimization_barrier
             HppT, HllT, HplT = sys
             plans, mc = self.mxu_plans, consts.mxu
             interp = self.mxu_interpret
-            iv9, W, bscT, g12 = mxu.prepare_factors_mxu(
+            iv9, W, bscT, g12 = OB(mxu.prepare_factors_mxu(
                 HppT, HllT, HplT, lam, self.num_p, self.num_l, plans, mc,
                 interpret=interp,
-            )
-            Dm = mxu.schur_dense_mxu(
+            ))
+            Dm = OB(mxu.schur_dense_mxu(
                 HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
                 interpret=interp,
-            )
+            ))
             n = 6 * self.pad_blocks
             rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
             refine = self.config.refinement_steps if dt == jnp.float32 else 0
-            x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+            x, ok = OB(dense_cholesky.cholesky_solve(Dm, rhs, refine))
             xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
             xl = mxu.back_substitute_mxu(
                 iv9, HllT, HplT, g12, xp, self.num_l, plans, mc, interpret=interp
@@ -345,11 +350,11 @@ class BlockSolverEngine:
                 return jnp.clip(a, cfg.attenuation_min, cfg.attenuation_max)
 
             def outer_cond(carry):
-                it, _, _, _, _, done = carry
+                it, _, _, _, _, _, done = carry
                 return (it < niterations) & ~done
 
             def outer_body(carry):
-                it, st, lam, nu, chis, done = carry
+                it, st, lam, nu, chis, natt, done = carry
                 err2, Xc2, err3, Xc3, F0 = self._residuals_and_chi(st, consts)
                 F = F0.astype(dt)
                 sys = self._build(st, consts, err2, Xc2, err3, Xc3)
@@ -381,7 +386,7 @@ class BlockSolverEngine:
 
                 chis = chis.at[it].set(F.astype(self.chi_dtype))
                 done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
-                return (it + 1, st, lam, nu, chis, done)
+                return (it + 1, st, lam, nu, chis, natt + q, done)
 
             init = (
                 jnp.int32(0),
@@ -389,10 +394,14 @@ class BlockSolverEngine:
                 dt.type(0.0),
                 dt.type(2.0),
                 jnp.zeros((niterations,), self.chi_dtype),
+                jnp.int32(0),
                 jnp.bool_(False),
             )
-            it, st, lam, nu, chis, done = jax.lax.while_loop(outer_cond, outer_body, init)
-            return LMResult(state=st, chis=chis, niters=it, final_lambda=lam)
+            it, st, lam, nu, chis, natt, done = jax.lax.while_loop(
+                outer_cond, outer_body, init
+            )
+            return LMResult(state=st, chis=chis, niters=it, final_lambda=lam,
+                            nattempts=natt)
 
         return lm_run
 

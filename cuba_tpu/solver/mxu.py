@@ -347,24 +347,28 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     def keys(k):
         return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
 
-    up = segmm.tiled_segsum(win, keys(mc.gkey_up), PB * PB, plans.up, mc.bb_up,
-                            interpret=interpret)
-    lo = segmm.tiled_segsum(win, keys(mc.gkey_lo), PB * PB, plans.lo, mc.bb_lo,
-                            interpret=interpret)
+    up = jax.lax.optimization_barrier(
+        segmm.tiled_segsum(win, keys(mc.gkey_up), PB * PB, plans.up, mc.bb_up,
+                           interpret=interpret))
+    lo = jax.lax.optimization_barrier(
+        segmm.tiled_segsum(win, keys(mc.gkey_lo), PB * PB, plans.lo, mc.bb_lo,
+                           interpret=interpret))
     # mirror blocks are transposed: row (i*6+j) of `lo` holds element (j,i)
     perm36 = jnp.asarray(
         np.arange(36).reshape(6, 6).T.reshape(-1), jnp.int32
     )
     m36 = -(up + lo[perm36])  # [36, PB*PB], block (p,q) at column p*PB+q
-    D = m36.reshape(6, 6, PB, PB).transpose(2, 0, 3, 1).astype(dtype)  # [PB,6,PB,6]
-    # add damped Hpp on the block diagonal (identity on padding blocks) via
-    # a fused masked broadcast — XLA scatter would cost ~20ms here
-    Hpp_d = HppT[:36].T.reshape(num_p, 6, 6).astype(dtype)
-    Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=dtype)
-    eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (PB - num_p, 6, 6))
-    diag_blocks = jnp.concatenate([Hpp_d, eye_pad], axis=0)  # [PB, 6, 6]
-    pq_eq = (jnp.arange(PB)[:, None] == jnp.arange(PB)[None, :])[:, None, :, None]
-    D = D + jnp.where(pq_eq, diag_blocks[:, :, None, :], jnp.zeros((), dtype))
+    # add damped Hpp on the block diagonal (identity on padding blocks) in
+    # the pre-transpose layout where it fuses into the combine output pass
+    # (an XLA scatter here costs ~20ms, a post-transpose mask ~15ms)
+    Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
+    Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
+    eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
+    dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T  # [36, PB]
+    eye_mask = (jnp.arange(PB)[:, None] == jnp.arange(PB)[None, :]).astype(m36.dtype)
+    m4 = jax.lax.optimization_barrier(
+        m36.reshape(36, PB, PB) + dbT[:, :, None] * eye_mask[None, :, :])
+    D = m4.reshape(6, 6, PB, PB).transpose(2, 0, 3, 1).astype(dtype)  # [PB,6,PB,6]
     n = 6 * PB
     return D.reshape(n, n)
 
