@@ -80,6 +80,45 @@ def _pad_blocks(num_p: int) -> int:
     return max(((num_p + _BLOCK_PAD - 1) // _BLOCK_PAD) * _BLOCK_PAD, _BLOCK_PAD)
 
 
+def _packed_device_put(tree):
+    """device_put a pytree of NumPy arrays with ONE transfer per dtype.
+
+    Per-leaf device_put issues one ~30ms round-trip per array through the
+    serving tunnel (~40 leaves -> 1.4s); packing into a single flat array
+    per dtype and slicing device-side costs two transfers + cheap async
+    on-device slices."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups: Dict[np.dtype, list] = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        groups.setdefault(arr.dtype, []).append((i, arr))
+    flats = []
+    meta = []  # (leaf index, group index, offset, shape)
+    for g, (dtype, items) in enumerate(groups.items()):
+        flats.append(np.concatenate([a.ravel() for _, a in items]))
+        off = 0
+        for i, a in items:
+            meta.append((i, g, off, a.shape))
+            off += a.size
+    d_flats = jax.device_put(tuple(flats))  # one transfer per dtype
+
+    # unpack in ONE jitted dispatch (eager slices cost a tunnel round-trip each)
+    spec = tuple(meta) + tuple((f.dtype.str, f.shape) for f in flats)
+    key = ("unpack", spec)
+    if key not in _JIT_CACHE:
+
+        def unpack(*fs):
+            out = [None] * len(leaves)
+            for i, g, off, shape in meta:
+                size = int(np.prod(shape)) if shape else 1
+                out[i] = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
+            return tuple(out)
+
+        _JIT_CACHE[key] = jax.jit(unpack)
+    out = _JIT_CACHE[key](*d_flats)
+    return jax.tree_util.tree_unflatten(treedef, list(out))
+
+
 class BlockSolverEngine:
     """Owns device constants + compiled functions for one problem structure."""
 
@@ -149,7 +188,7 @@ class BlockSolverEngine:
             ),
             mxu=mxu_consts,
         )
-        self.state, self.consts = jax.device_put((state_np, consts_np))
+        self.state, self.consts = _packed_device_put((state_np, consts_np))
 
         # every value the jitted closures capture from `self`, hashable —
         # engines with equal specs share compiled functions via _JIT_CACHE
