@@ -207,6 +207,53 @@ class BundleAdjustment:
         self._engine = None
         self._state = None
 
+    # --- checkpoint / resume ----------------------------------------------
+    # New capability vs the reference, which only push/pops LM trial state
+    # in device memory (cuda_bundle_adjustment.cpp:502-510): persist the
+    # current vertex estimates (+ per-iteration statistics) to disk and
+    # restore them into a graph with the same vertex ids — long
+    # optimizations can resume across processes.
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist current estimates and statistics to an .npz file."""
+        pids = sorted(self._poses)
+        lids = sorted(self._landmarks)
+        np.savez(
+            path,
+            pose_ids=np.asarray(pids, np.int64),
+            qs=np.stack([self._poses[i].q for i in pids]) if pids else np.zeros((0, 4)),
+            ts=np.stack([self._poses[i].t for i in pids]) if pids else np.zeros((0, 3)),
+            lm_ids=np.asarray(lids, np.int64),
+            Xws=np.stack([self._landmarks[i].Xw for i in lids]) if lids else np.zeros((0, 3)),
+            stats_iter=np.asarray([s.iteration for s in self._stats], np.int64),
+            stats_chi2=np.asarray([s.chi2 for s in self._stats], np.float64),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore estimates saved by :meth:`save_checkpoint`.
+
+        Vertices are matched by id; ids present in the file but not in the
+        graph are ignored, graph vertices missing from the file keep their
+        current estimates.  Call before ``initialize()`` (or re-initialize
+        afterwards) so the solver picks up the restored state."""
+        data = np.load(path)
+        for i, pid in enumerate(data["pose_ids"]):
+            v = self._poses.get(int(pid))
+            if v is not None:
+                v.q = data["qs"][i].copy()
+                v.t = data["ts"][i].copy()
+        for i, lid in enumerate(data["lm_ids"]):
+            v = self._landmarks.get(int(lid))
+            if v is not None:
+                v.Xw = data["Xws"][i].copy()
+        self._stats = [
+            BatchInfo(int(it), float(c))
+            for it, c in zip(data["stats_iter"], data["stats_chi2"])
+        ]
+
+    saveCheckpoint = save_checkpoint
+    loadCheckpoint = load_checkpoint
+
     def batch_statistics(self):
         return self._stats
 

@@ -77,3 +77,29 @@ def test_chi2_parity_with_fixed_landmarks():
     n = min(len(chis_tpu), len(chis_ref))
     rel = np.abs(chis_tpu[:n] - chis_ref[:n]) / np.abs(chis_ref[:n])
     assert np.all(rel < 1e-6), f"chi2 mismatch: {list(zip(chis_tpu[:n], chis_ref[:n]))}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restore estimates + stats by id."""
+    import numpy as np
+    from cuba_tpu.io import synthetic
+
+    prob = synthetic.generate(num_poses=8, num_landmarks=50, seed=7)
+    ba = synthetic.build_graph(prob)
+    ba.initialize()
+    ba.optimize(3)
+    ck = str(tmp_path / "ck.npz")
+    ba.save_checkpoint(ck)
+    q_ref = {i: ba.pose_vertex(i).q.copy() for i in sorted(ba._poses)}
+    chis_ref = [s.chi2 for s in ba.batch_statistics()]
+
+    # fresh graph with unoptimized estimates, same ids
+    ba2 = synthetic.build_graph(prob)
+    ba2.load_checkpoint(ck)
+    for i, q in q_ref.items():
+        np.testing.assert_allclose(ba2.pose_vertex(i).q, q)
+    assert [s.chi2 for s in ba2.batch_statistics()] == chis_ref
+    # resuming continues the descent
+    ba2.initialize()
+    ba2.optimize(2)
+    assert ba2.batch_statistics()[-1].chi2 <= chis_ref[-1] * 1.0001
