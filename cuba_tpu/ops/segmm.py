@@ -177,6 +177,7 @@ def plan_tiles(
     last[empty] = 0
     base_block = first // block
     end_block = last // block + 1
+    base_block[empty] = -1  # kernels skip compute for empty tiles
     n_blocks = int(np.max(end_block - base_block)) if num_tiles else 1
     n_blocks = max(n_blocks, 1)
     ok = n_blocks <= max_blocks
@@ -204,6 +205,7 @@ def plan_gather_tiles(
     hi = np.where(any_valid, np.where(valid, idp, -1).max(axis=1), 0)
     base_block = lo // block
     n_blocks = int(np.max(hi // block + 1 - base_block)) if num_tiles else 1
+    base_block[~any_valid] = -1  # kernels skip compute for empty tiles
     n_blocks = max(n_blocks, 1)
     ok = n_blocks <= max_blocks
     n_pad = int(np.max(base_block) + n_blocks) * block if ok else _round_up(num_src, block)
@@ -238,20 +240,24 @@ def tiled_segsum(
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        idv = ids_ref[0, :]
-        base = t * T_S
-        Q = (
-            idv[:, None] - base
-            == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 1)
-        ).astype(vals_ref.dtype)
-        out_ref[:] += _dot(vals_ref[:], Q, precision)
+        # bb < 0 marks a tile with no inputs: only the zero-fill runs
+        # (97% of dense Schur block-table tiles are empty)
+        @pl.when(bb_ref[t] >= 0)
+        def _():
+            idv = ids_ref[0, :]
+            base = t * T_S
+            Q = (
+                idv[:, None] - base
+                == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 1)
+            ).astype(vals_ref.dtype)
+            out_ref[:] += _dot(vals_ref[:], Q, precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, C),
         in_specs=[
-            pl.BlockSpec((1, R), lambda t, c, bb: (t * 0, bb[t] + c)),
-            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, bb[t] + c)),
+            pl.BlockSpec((1, R), lambda t, c, bb: (t * 0, jnp.maximum(bb[t], 0) + c)),
+            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, jnp.maximum(bb[t], 0) + c)),
         ],
         out_specs=pl.BlockSpec((D, T_S), lambda t, c, bb: (t * 0, t)),
     )
@@ -297,20 +303,22 @@ def tiled_gather(
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        cols = ids_ref[0, :]  # [T_S] source column per output
-        rbase = (bb_ref[t] + c) * R
-        Q = (
-            cols[None, :] - rbase
-            == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 0)
-        ).astype(src_ref.dtype)
-        out_ref[:] += _dot(src_ref[:], Q, precision)
+        @pl.when(bb_ref[t] >= 0)
+        def _():
+            cols = ids_ref[0, :]  # [T_S] source column per output
+            rbase = (bb_ref[t] + c) * R
+            Q = (
+                cols[None, :] - rbase
+                == jax.lax.broadcasted_iota(jnp.int32, (R, T_S), 0)
+            ).astype(src_ref.dtype)
+            out_ref[:] += _dot(src_ref[:], Q, precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, C),
         in_specs=[
             pl.BlockSpec((1, T_S), lambda t, c, bb: (t * 0, t)),
-            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, bb[t] + c)),
+            pl.BlockSpec((D, R), lambda t, c, bb: (t * 0, jnp.maximum(bb[t], 0) + c)),
         ],
         out_specs=pl.BlockSpec((D, T_S), lambda t, c, bb: (t * 0, t)),
     )
@@ -517,3 +525,79 @@ def schur_fused_xla(W, G, mul_i, mul_j, mul_k, n_hsc):
     Gr = Gg.reshape(6, 3, -1)
     prod = jnp.einsum("akt,bkt->abt", Wr, Gr).reshape(36, -1)
     return jax.ops.segment_sum(prod.T, mul_k, num_segments=n_hsc).T
+
+
+# ---------------------------------------------------------------------------
+# band_transpose: block-table -> dense matrix, skipping empty band tiles
+# ---------------------------------------------------------------------------
+
+
+def _dot_rhs_split(a_onehot, b):
+    """dot(a, b) with a exactly representable in bf16 (one-hot) and b split
+    into a bf16 triple — fp32-exact selection matmul with b on the right."""
+    aa = a_onehot.astype(jnp.bfloat16)
+    b1 = b.astype(jnp.bfloat16)
+    r = b - b1.astype(jnp.float32)
+    b2 = r.astype(jnp.bfloat16)
+    b3 = (r - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(aa, b1, dims, preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(aa, b2, dims, preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(aa, b3, dims, preferred_element_type=jnp.float32)
+    return out
+
+
+def band_transpose(
+    m4: jnp.ndarray,  # [36, PB, PB], row (i*6+j) = element (i,j) of block (p,q)
+    occ: jnp.ndarray,  # [T*T] int32: 1 if 128-block tile (tp,tq) has data
+    PB: int,
+    *,
+    tile_p: int = 64,
+    tile_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The lane interleave (i*6+j, p, q) -> (6p+i, 6q+j) as one-hot MXU
+    matmuls per 128-block tile: out_tile = sum_i Ri (sum_j x_ij Cj^T) with
+    Ri[r,p] = (r == 6p+i), Cj[c,q] = (c == 6q+j).  XLA's native transpose
+    runs this relayout at ~10 GB/s (~25ms for kitti00) and Mosaic cannot
+    compile it as a vector shuffle; as selection matmuls it is exact (the
+    value operand uses the bf16x3 split) and empty band tiles are skipped
+    (BA Schur complements are ~99% empty off-band)."""
+    TP_T, TQ_T = PB // tile_p, PB // tile_q
+    TTP, TTQ = tile_p * 6, tile_q * 6
+
+    def kern(occ_ref, x_ref, out_ref):
+        tp = pl.program_id(0)
+        tq = pl.program_id(1)
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(occ_ref[tp * TQ_T + tq] > 0)
+        def _():
+            x = x_ref[:]  # [36, tile_p, tile_q]
+            rp = jax.lax.broadcasted_iota(jnp.int32, (TTP, tile_p), 0)
+            pp = jax.lax.broadcasted_iota(jnp.int32, (TTP, tile_p), 1)
+            cq = jax.lax.broadcasted_iota(jnp.int32, (tile_q, TTQ), 1)
+            qq = jax.lax.broadcasted_iota(jnp.int32, (tile_q, TTQ), 0)
+            acc = jnp.zeros((TTP, TTQ), jnp.float32)
+            for i in range(6):
+                Ri = (rp == 6 * pp + i).astype(jnp.float32)  # [TTP, tile_p]
+                Bi = jnp.zeros((tile_p, TTQ), jnp.float32)
+                for j in range(6):
+                    CjT = (cq == 6 * qq + j).astype(jnp.float32)  # [tile_q, TTQ]
+                    Bi += _dot(x[i * 6 + j], CjT, ONEHOT_PREC)
+                acc += _dot_rhs_split(Ri, Bi)
+            out_ref[:] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(TP_T, TQ_T),
+        in_specs=[pl.BlockSpec((36, tile_p, tile_q), lambda a, b, o: (a * 0, a, b))],
+        out_specs=pl.BlockSpec((TTP, TTQ), lambda a, b, o: (a, b)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((PB * 6, PB * 6), jnp.float32),
+        interpret=interpret,
+    )(occ, m4)

@@ -42,9 +42,10 @@ PROFILE_ITEMS = (
     "7: Update Solution",
 )
 
-# pad the dense Schur system so 6*PB is a multiple of 384 = lcm(6, 128):
-# full MXU lanes with whole 6x6 blocks
-_BLOCK_PAD = 64
+# pad the dense Schur system so PB is a multiple of 128: whole MXU lanes
+# with whole 6x6 blocks, and the band-transpose kernel's 128-lane tiles
+# divide the block grid exactly
+_BLOCK_PAD = 128
 
 # Compiled functions cached by static spec (shapes/dtypes/config/kernels),
 # NOT by engine instance: re-initializing a same-shaped problem (the

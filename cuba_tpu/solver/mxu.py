@@ -88,6 +88,7 @@ class MXUConsts(NamedTuple):
     gkey_lo: jnp.ndarray  # [C*kwin] mirror key (-1 on diagonal blocks)
     bb_up: jnp.ndarray
     bb_lo: jnp.ndarray
+    occ: jnp.ndarray  # [T_P*T_Q] band-transpose tile occupancy
     # dense scatter pattern
     hsc_row: jnp.ndarray  # [n_hsc]
     hsc_col: jnp.ndarray
@@ -162,6 +163,15 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         # and inputs are tiny compact lists — small blocks cut the floor 4x
         up = segmm.plan_tiles(gkey_up, PB * PB, block=128, max_blocks=64)
         lo = segmm.plan_tiles(gkey_lo, PB * PB, block=128, max_blocks=64)
+        # band-transpose occupancy: 64x128-block tiles containing any dense
+        # block (data, mirrors, or the full diagonal incl. padding identity)
+        occ = np.zeros((PB // 64, PB // 128), np.int32)
+        v = gid >= 0
+        occ[r[v] // 64, c[v] // 128] = 1
+        occ[c[v] // 64, r[v] // 128] = 1
+        dd = np.arange(PB)
+        occ[dd // 64, dd // 128] = 1
+        occ = occ.reshape(-1)
 
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
     ok = (
@@ -209,6 +219,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         gkey_lo=gkey_lo,
         bb_up=np.asarray(up.base_block, i32),
         bb_lo=np.asarray(lo.base_block, i32),
+        occ=occ,
         hsc_row=np.asarray(s.hsc_row, i32),
         hsc_col=np.asarray(s.hsc_col, i32),
     )
@@ -368,9 +379,9 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     eye_mask = (jnp.arange(PB)[:, None] == jnp.arange(PB)[None, :]).astype(m36.dtype)
     m4 = jax.lax.optimization_barrier(
         m36.reshape(36, PB, PB) + dbT[:, :, None] * eye_mask[None, :, :])
-    D = m4.reshape(6, 6, PB, PB).transpose(2, 0, 3, 1).astype(dtype)  # [PB,6,PB,6]
-    n = 6 * PB
-    return D.reshape(n, n)
+    # lane interleave (i*6+j, p, q) -> (6p+i, 6q+j) via the band-aware
+    # one-hot-matmul kernel (XLA's native transpose runs at ~10GB/s here)
+    return segmm.band_transpose(m4, mc.occ, PB, interpret=interpret).astype(dtype)
 
 
 def back_substitute_mxu(iv9, HllT, HplT, g12, xp, num_l,
