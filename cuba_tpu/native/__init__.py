@@ -135,3 +135,56 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         lk_pose,
         edge2lk,
     )
+
+
+def _bind_schur(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ba_schur_plan.restype = ctypes.c_void_p
+    lib.ba_schur_plan.argtypes = [
+        i32p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    for name, rt in (("ba_sp_kwin", ctypes.c_int32), ("ba_sp_ok", ctypes.c_int32),
+                     ("ba_sp_chunks", ctypes.c_int64), ("ba_sp_slot_pad", ctypes.c_int64),
+                     ("ba_sp_hsc_pad", ctypes.c_int64)):
+        getattr(lib, name).restype = rt
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ba_sp_copy.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p]
+    lib.ba_sp_free.argtypes = [ctypes.c_void_p]
+
+
+def schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin):
+    """C++ Schur chunk planner.  Returns
+    (kwin, ok, num_chunks, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_schur_bound"):
+        _bind_schur(lib)
+        lib._schur_bound = True
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(i32p)
+
+    mi = np.ascontiguousarray(mul_i, np.int32)
+    mj = np.ascontiguousarray(mul_j, np.int32)
+    mk = np.ascontiguousarray(mul_k, np.int32)
+    h = lib.ba_schur_plan(ptr(mi), ptr(mj), ptr(mk), mi.size,
+                          int(n_hpl), int(n_hsc), int(chunk), int(slot_block), int(max_kwin))
+    try:
+        kwin = lib.ba_sp_kwin(h)
+        ok = bool(lib.ba_sp_ok(h))
+        C = lib.ba_sp_chunks(h)
+        n_slot_pad = lib.ba_sp_slot_pad(h)
+        n_hsc_pad = lib.ba_sp_hsc_pad(h)
+        sb = np.empty(C, np.int32)
+        li = np.empty(C * chunk, np.int32)
+        lj = np.empty(C * chunk, np.int32)
+        lk = np.empty(C * chunk, np.int32)
+        gid = np.empty(C * kwin, np.int32)
+        lib.ba_sp_copy(h, ptr(sb), ptr(li), ptr(lj), ptr(lk), ptr(gid))
+    finally:
+        lib.ba_sp_free(h)
+    return kwin, ok, int(C), int(n_slot_pad), int(n_hsc_pad), sb, li, lj, lk, gid

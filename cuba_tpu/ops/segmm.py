@@ -383,7 +383,18 @@ def plan_schur(
     and derive per-chunk slot windows + COMPACT output block lists (each chunk
     touches only ~chunk/avg_pairs_per_block distinct Hsc blocks; emitting a
     dense id-window instead dilutes the combine stage ~25x).
-    ok=False when locality is insufficient."""
+    ok=False when locality is insufficient.
+
+    Dispatches to the C++ planner (cuba_tpu/native) when available — this
+    is ~0.6s of pure indexing at kitti00 scale in NumPy, ~60ms in C++."""
+    from cuba_tpu import native
+
+    nat = native.schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin)
+    if nat is not None:
+        kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = nat
+        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk, gid,
+                         n_slot_pad, n_hsc_pad, ok)
+
     n_mul = int(mul_i.size)
     order = np.argsort(mul_i, kind="stable")  # landmark-major slot order
     mi, mj, mk = mul_i[order], mul_j[order], mul_k[order]

@@ -145,3 +145,48 @@ class TestSchurFused:
                                     jnp.asarray(mul_k), n_hsc)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSchurPlanNativeParity:
+    def test_cpp_matches_numpy(self):
+        from cuba_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(9)
+        # landmark-major synthetic triplets
+        n_slots_per = rng.integers(1, 7, 300)
+        start = 0
+        mul_i, mul_j = [], []
+        pose_of_slot = np.sort(rng.integers(0, 50, int(n_slots_per.sum())))
+        for c in n_slots_per:
+            for a in range(c):
+                for b in range(a, c):
+                    mul_i.append(start + a)
+                    mul_j.append(start + b)
+            start += c
+        mul_i = np.asarray(mul_i, np.int64)
+        mul_j = np.asarray(mul_j, np.int64)
+        key = pose_of_slot[mul_i] * 50 + pose_of_slot[mul_j]
+        uniq, mul_k = np.unique(key, return_inverse=True)
+        n_hpl, n_hsc = start, uniq.size
+
+        cpp = segmm.plan_schur(mul_i, mul_j, mul_k.astype(np.int64), n_hpl, n_hsc,
+                               chunk=128, slot_block=256)
+        orig = __import__("cuba_tpu.native", fromlist=["native"]).schur_plan
+        import cuba_tpu.native as nat
+        nat_fn = nat.schur_plan
+        nat.schur_plan = lambda *a, **k: None
+        try:
+            ref = segmm.plan_schur(mul_i, mul_j, mul_k.astype(np.int64), n_hpl, n_hsc,
+                                   chunk=128, slot_block=256)
+        finally:
+            nat.schur_plan = nat_fn
+        assert cpp.ok == ref.ok and cpp.kwin == ref.kwin
+        assert cpp.num_chunks == ref.num_chunks
+        assert (cpp.n_slot_pad, cpp.n_hsc_pad) == (ref.n_slot_pad, ref.n_hsc_pad)
+        np.testing.assert_array_equal(cpp.sb, ref.sb)
+        np.testing.assert_array_equal(cpp.li, ref.li)
+        np.testing.assert_array_equal(cpp.lj, ref.lj)
+        np.testing.assert_array_equal(cpp.lk, ref.lk)
+        np.testing.assert_array_equal(cpp.gid, ref.gid)
