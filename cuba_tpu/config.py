@@ -57,6 +57,7 @@ class BAConfig:
     attenuation_max: float = 2.0 / 3.0
     solver: str = "dense_cholesky"
     refinement_steps: int = 1
+    numerical_escalation: float = 8.0  # lambda factor on factorization failure
     pcg_max_iterations: int = 250
     pcg_tol: float = 1e-10
     pose_block_pad: int = 128

@@ -213,6 +213,7 @@ class BlockSolverEngine:
             cfg.attenuation_min,
             cfg.attenuation_max,
             cfg.refinement_steps,
+            cfg.numerical_escalation,
             cfg.pcg_max_iterations,
             cfg.pcg_tol,
             self.use_mxu,
@@ -415,7 +416,14 @@ class BlockSolverEngine:
                     scale = self._scale(xp, xl, bp, bl, lam_c) + dt.type(cfg.scale_eps)
                     rho = jnp.where(ok, (F - Fhat) / scale, dt.type(-1.0))
                     accept = rho > 0
-                    lam_n = jnp.where(accept, lam_c * attenuation(rho), lam_c * nu_c)
+                    # numerical failure (factorization not finite) marks the
+                    # fp32 precision floor, not a trust-region signal: escalate
+                    # lambda faster than the reference's nu doubling (which it
+                    # applies to both cases, cpp:839-845) to skip dead retries
+                    esc = jnp.where(
+                        ok, nu_c, jnp.maximum(nu_c, dt.type(cfg.numerical_escalation))
+                    )
+                    lam_n = jnp.where(accept, lam_c * attenuation(rho), lam_c * esc)
                     nu_n = jnp.where(accept, dt.type(2.0), nu_c * 2.0)
                     st_n = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, st)
                     F_n = jnp.where(accept, Fhat, Fc)
