@@ -612,3 +612,135 @@ def band_transpose(
         out_shape=jax.ShapeDtypeStruct((PB * 6, PB * 6), jnp.float32),
         interpret=interpret,
     )(occ, m4)
+
+
+# ---------------------------------------------------------------------------
+# compact_to_dense: rank-major block tables -> dense damped Schur matrix
+# ---------------------------------------------------------------------------
+
+
+def compact_to_dense(
+    upT: jnp.ndarray,  # [36, PB*maxw] row-rank-major combined Hsc blocks
+    iru: jnp.ndarray,  # [PB*maxw] int32 block row per rank slot (-1 pad)
+    icu: jnp.ndarray,  # [PB*maxw] int32 block col per rank slot (-1 pad)
+    clT: jnp.ndarray,  # [36, PB*maxwc] col-rank-major combined Hsc blocks
+    ipc: jnp.ndarray,  # [PB*maxwc] int32 block col per col-rank slot (-1 pad)
+    irc: jnp.ndarray,  # [PB*maxwc] int32 block row per col-rank slot (-1 pad)
+    dbT: jnp.ndarray,  # [36, PB] damped diagonal blocks (identity on padding)
+    occ: jnp.ndarray,  # [T_P*T_Q] int32 tile occupancy
+    PB: int,
+    maxw: int,
+    maxwc: int,
+    *,
+    tile_p: int = 64,
+    tile_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense [6PB, 6PB] damped Schur matrix straight from the compact
+    rank-major block tables — fusing what was previously four passes
+    (upper combine over PB^2 dense keys, mirror combine, diagonal add,
+    band_transpose).  The dense-key combines' real cost was GRID overhead:
+    (PB^2/512) x n_blocks steps (~248k at kitti00 scale, ~13ms each pass)
+    even though 97% of tiles skip compute.  Here the combines target the
+    compact rank key spaces (PB*maxw lanes, ~2.7k grid steps) and this
+    kernel does windowed one-hot selection per 128-block dense tile:
+
+      x_ij = RowSel @ (val_ij * ColSel)        (upper blocks, window Wu)
+           + MirSel @ (val_ji * MirColSel)     (transposed mirrors, Wc)
+           + diag one-hot * damped Hpp         (fused damping)
+      out_tile = sum_i Ri @ (sum_j x_ij @ Cj^T)   (the 6x6 interleave)
+
+    Window bases are pure index math (rank-major layout has fixed stride),
+    so no scalar prefetch is needed.  Sign matches schur.assemble_dense:
+    dense = diag - (up + mirrors).  Replaces the reference's Hsc BSR
+    assembly + twistCSR permutations (src/cuda_block_solver.cu:964-977,
+    src/cuda_linear_solver.cpp:278-335) with MXU selection matmuls.
+    """
+    TP_T, TQ_T = PB // tile_p, PB // tile_q
+    TTP, TTQ = tile_p * 6, tile_q * 6
+    Wu, Wc = tile_p * maxw, tile_q * maxwc
+    assert Wu % 128 == 0 and Wc % 128 == 0, (Wu, Wc)
+
+    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, ipc_ref, irc_ref,
+             db_ref, out_ref):
+        tp = pl.program_id(0)
+        tq = pl.program_id(1)
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(occ_ref[tp * TQ_T + tq] > 0)
+        def _():
+            iru_l = iru_ref[0, :] - tp * tile_p  # local row of up slots
+            icu_l = icu_ref[0, :] - tq * tile_q  # local col of up slots
+            ipc_l = ipc_ref[0, :] - tp * tile_p  # local row (block col) of mirrors
+            irc_l = irc_ref[0, :] - tq * tile_q  # local col (block row) of mirrors
+            mir_off_diag = irc_ref[0, :] != ipc_ref[0, :]
+
+            rr_u = jax.lax.broadcasted_iota(jnp.int32, (tile_p, Wu), 0)
+            cc_u = jax.lax.broadcasted_iota(jnp.int32, (Wu, tile_q), 1)
+            RowSel = (rr_u == iru_l[None, :]).astype(jnp.bfloat16)
+            ColSel = (cc_u == icu_l[:, None]).astype(jnp.float32)
+            rr_m = jax.lax.broadcasted_iota(jnp.int32, (tile_p, Wc), 0)
+            cc_m = jax.lax.broadcasted_iota(jnp.int32, (Wc, tile_q), 1)
+            MirSel = ((rr_m == ipc_l[None, :]) & mir_off_diag[None, :]).astype(jnp.bfloat16)
+            MirColSel = (cc_m == irc_l[:, None]).astype(jnp.float32)
+            # fused damped-diagonal injection (identity on padding blocks).
+            # db arrives in 128-wide blocks (Mosaic lane alignment): slot s
+            # holds global block p = (tp//2)*128 + s; select rows/cols by
+            # one-hot factors like the up/mirror paths.
+            # lax.rem/div: jnp's % promotion recurses under x64 in-kernel
+            tp_half = jax.lax.div(tp, jnp.int32(2))
+            tp_par = jax.lax.rem(tp, jnp.int32(2))
+            ss_r = jax.lax.broadcasted_iota(jnp.int32, (tile_p, 128), 1)
+            pp_r = jax.lax.broadcasted_iota(jnp.int32, (tile_p, 128), 0)
+            DRowSel = (pp_r == ss_r - tp_par * tile_p).astype(jnp.bfloat16)
+            ss_c = jax.lax.broadcasted_iota(jnp.int32, (128, tile_q), 0)
+            qq_c = jax.lax.broadcasted_iota(jnp.int32, (128, tile_q), 1)
+            DColSel = (qq_c == ss_c + tp_half * 128 - tq * tile_q).astype(jnp.float32)
+
+            rp = jax.lax.broadcasted_iota(jnp.int32, (TTP, tile_p), 0)
+            pp = jax.lax.broadcasted_iota(jnp.int32, (TTP, tile_p), 1)
+            cq = jax.lax.broadcasted_iota(jnp.int32, (tile_q, TTQ), 1)
+            qq = jax.lax.broadcasted_iota(jnp.int32, (tile_q, TTQ), 0)
+            acc = jnp.zeros((TTP, TTQ), jnp.float32)
+            for i in range(6):
+                Ri = (rp == 6 * pp + i).astype(jnp.float32)  # [TTP, tile_p]
+                Bi = jnp.zeros((tile_p, TTQ), jnp.float32)
+                for j in range(6):
+                    vu = up_ref[i * 6 + j, :]   # [Wu]
+                    vm = cl_ref[j * 6 + i, :]   # [Wc] transposed mirror element
+                    x_ij = -_dot_rhs_split(RowSel, vu[:, None] * ColSel)
+                    x_ij -= _dot_rhs_split(MirSel, vm[:, None] * MirColSel)
+                    x_ij += _dot_rhs_split(
+                        DRowSel, db_ref[i * 6 + j, :][:, None] * DColSel
+                    )
+                    CjT = (cq == 6 * qq + j).astype(jnp.float32)  # [tile_q, TTQ]
+                    Bi += _dot(x_ij, CjT, ONEHOT_PREC)
+                acc += _dot_rhs_split(Ri, Bi)
+            out_ref[:] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(TP_T, TQ_T),
+        in_specs=[
+            pl.BlockSpec((36, Wu), lambda a, b, o: (a * 0, a)),
+            pl.BlockSpec((1, Wu), lambda a, b, o: (a * 0, a)),
+            pl.BlockSpec((1, Wu), lambda a, b, o: (a * 0, a)),
+            pl.BlockSpec((36, Wc), lambda a, b, o: (a * 0, b)),
+            pl.BlockSpec((1, Wc), lambda a, b, o: (a * 0, b)),
+            pl.BlockSpec((1, Wc), lambda a, b, o: (a * 0, b)),
+            pl.BlockSpec((36, 128), lambda a, b, o: (a * 0, jax.lax.div(a, jnp.int32(2)))),
+        ],
+        out_specs=pl.BlockSpec((TTP, TTQ), lambda a, b, o: (a, b)),
+    )
+    PBmw, PBmwc = PB * maxw, PB * maxwc
+    # windows + double-buffered out tile + unrolled-loop transients push the
+    # working set past the 16MB scoped-vmem default at kitti00 scale
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((PB * 6, PB * 6), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(occ, upT, iru.reshape(1, PBmw), icu.reshape(1, PBmw),
+      clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)

@@ -15,14 +15,20 @@ the LM driver treats the step as rejected (rho = -1).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from cuba_tpu.solver import trisolve
+
 
 def cholesky_solve(
-    A: jnp.ndarray, b: jnp.ndarray, refinement_steps: int = 0
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    refinement_steps: int = 0,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve A x = b for SPD A.  Returns (x, ok).
 
@@ -43,13 +49,34 @@ def cholesky_solve(
     As = A * s[:, None] * s[None, :]
     L = jnp.linalg.cholesky(As)
 
-    def solve_with(rhs):
-        y = jax.scipy.linalg.solve_triangular(L, rhs * s, lower=True)
-        return s * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and trisolve.usable(A.shape[0], A.dtype)
+        )
+
+    if use_pallas:
+        # XLA's width-1 TriangularSolve unrolls into ~n/128 sequential
+        # single-lane panel ops (docs/PERF_NOTES.md); the Pallas blocked
+        # substitution is one kernel launch per sweep.
+        invd = trisolve.prepare(L, interpret=interpret)
+
+        def solve_with(rhs):
+            y = trisolve.solve_lower(L, invd, rhs * s, interpret=interpret)
+            return s * trisolve.solve_upper(L, invd, y, interpret=interpret)
+
+        mv = lambda v: trisolve.matvec(A, v, interpret=interpret)
+    else:
+
+        def solve_with(rhs):
+            y = jax.scipy.linalg.solve_triangular(L, rhs * s, lower=True)
+            return s * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+        mv = lambda v: A @ v
 
     x = solve_with(b)
     for _ in range(refinement_steps):
-        r = b - A @ x
+        r = b - mv(x)
         x = x + solve_with(r)
 
     ok = jnp.all(jnp.isfinite(x))

@@ -26,7 +26,7 @@ import numpy as np
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.ops import se3, smallmat
-from cuba_tpu.solver import assembly, dense_cholesky, mxu, pcg, schur
+from cuba_tpu.solver import assembly, dense_cholesky, mxu, pcg, schur, trisolve
 from cuba_tpu.solver.assembly import EdgeConsts
 from cuba_tpu.solver.schur import SchurConsts
 from cuba_tpu.solver.structure import BAStructure
@@ -226,12 +226,13 @@ class BlockSolverEngine:
         p = self.mxu_plans
         if p is None:
             return None
-        tp = lambda t: (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
+        tp = lambda t: None if t is None else (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
         sc = p.schur
         return (
             p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
             tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
             tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
+            p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
             (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
         )
 
@@ -306,7 +307,17 @@ class BlockSolverEngine:
             n = 6 * self.pad_blocks
             rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
             refine = self.config.refinement_steps if dt == jnp.float32 else 0
-            x, ok = OB(dense_cholesky.cholesky_solve(Dm, rhs, refine))
+            # Pallas blocked trisolve (solver/trisolve.py): one extra
+            # refinement sweep compensates the inverted-diagonal-block
+            # substitution's slightly larger residual — without it the LM
+            # loop pays ~3 extra step rejections at kitti00 scale, which
+            # costs far more than the ~2ms sweep.
+            use_ts = (
+                jax.default_backend() == "tpu" and trisolve.usable(n, dt)
+            )
+            if use_ts and refine > 0:
+                refine += 1
+            x, ok = OB(dense_cholesky.cholesky_solve(Dm, rhs, refine, use_pallas=use_ts))
             xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
             xl = mxu.back_substitute_mxu(
                 iv9, HllT, HplT, g12, xp, self.num_l, plans, mc, interpret=interp

@@ -56,6 +56,13 @@ class MXUPlans:
     pad_blocks: int = 0  # dense Schur block padding (engine's)
     up: Optional[segmm.TilePlan] = None  # schur windows -> dense upper keys
     lo: Optional[segmm.TilePlan] = None  # schur windows -> dense mirror keys
+    # v2 dense formation (compact rank-major tables + compact_to_dense):
+    # preferred; up/lo are the fallback when the block band is too wide
+    v2: bool = False
+    maxw: int = 0  # max Hsc blocks per block-row, padded even
+    maxwc: int = 0  # max Hsc blocks per block-column
+    up2: Optional[segmm.TilePlan] = None  # windows -> row-rank keys
+    cl2: Optional[segmm.TilePlan] = None  # windows -> col-rank keys
 
 
 class MXUConsts(NamedTuple):
@@ -92,6 +99,16 @@ class MXUConsts(NamedTuple):
     # dense scatter pattern
     hsc_row: jnp.ndarray  # [n_hsc]
     hsc_col: jnp.ndarray
+    # v2 formation constants (1-element dummies when plans.v2 is False)
+    gkey_up2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] row-rank key
+    gkey_cl2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] col-rank key
+    bb_up2: jnp.ndarray = np.zeros(1, np.int32)
+    bb_cl2: jnp.ndarray = np.zeros(1, np.int32)
+    iru: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxw] block row per rank slot
+    icu: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxw] block col per rank slot
+    ipc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block col per col-rank slot
+    irc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block row per col-rank slot
+    occ2: jnp.ndarray = np.zeros(1, np.int32)  # [T_P*T_Q] v2 tile occupancy
 
 
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
@@ -148,38 +165,82 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
             break
         e_pad_m, e_pad_s, hpl_pad = need_em, need_es, need_hpl
 
-    # dense-formation combines: window lanes -> dense row-major block keys.
-    # Blocks are (row, col)-sorted so upper keys are monotone along lanes;
-    # mirror keys rely on band locality (checked by the plan).
+    # dense formation: window lanes -> block keys.  v2 (preferred) targets
+    # compact rank-major key spaces (PB*maxw lanes) so the combine grids are
+    # ~100x smaller than the dense-key fallback's (PB^2/tile * n_blocks grid
+    # steps were ~13ms of pure grid overhead per pass at kitti00 scale);
+    # compact_to_dense then forms the damped matrix in one tile pass.
     PB = max(pad_blocks, 1)
-    up = lo = None
+    n_hsc = int(s.hsc_row.size)
+    up = lo = up2 = cl2 = None
+    v2 = False
+    maxw = maxwc = 0
+    i32 = np.int32
     if sc.ok:
         gid = sc.gid.astype(np.int64)
         r = np.where(gid >= 0, s.hsc_row[np.maximum(gid, 0)], 0).astype(np.int64)
         c = np.where(gid >= 0, s.hsc_col[np.maximum(gid, 0)], 0).astype(np.int64)
-        gkey_up = np.where(gid >= 0, r * PB + c, -1).astype(np.int32)
-        gkey_lo = np.where((gid >= 0) & (r != c), c * PB + r, -1).astype(np.int32)
-        # block=256: the combine's MXU cost is ~ num_tiles*n_blocks*block,
-        # and inputs are tiny compact lists — small blocks cut the floor 4x
-        up = segmm.plan_tiles(gkey_up, PB * PB, block=128, max_blocks=64)
-        lo = segmm.plan_tiles(gkey_lo, PB * PB, block=128, max_blocks=64)
-        # band-transpose occupancy: 64x128-block tiles containing any dense
-        # block (data, mirrors, or the full diagonal incl. padding identity)
-        occ = np.zeros((PB // 64, PB // 128), np.int32)
-        v = gid >= 0
-        occ[r[v] // 64, c[v] // 128] = 1
-        occ[c[v] // 64, r[v] // 128] = 1
-        dd = np.arange(PB)
-        occ[dd // 64, dd // 128] = 1
-        occ = occ.reshape(-1)
+        hr = np.asarray(s.hsc_row, np.int64)
+        hc = np.asarray(s.hsc_col, np.int64)
+        rowcnt = np.bincount(hr, minlength=PB)
+        colcnt = np.bincount(hc, minlength=PB)
+        maxw = int(rowcnt.max()) if n_hsc else 1
+        maxw += maxw % 2  # 64*maxw must be lane-aligned (% 128 == 0)
+        maxw = max(maxw, 2)
+        maxwc = max(int(colcnt.max()) if n_hsc else 1, 1)
+        if maxw <= 64 and maxwc <= 64 and n_hsc:
+            # blocks are (row, col)-sorted: rank within row is positional
+            rowstart = np.zeros(PB + 1, np.int64)
+            np.cumsum(rowcnt, out=rowstart[1:])
+            rank = np.arange(n_hsc, dtype=np.int64) - rowstart[hr]
+            rkey = hr * maxw + rank
+            corder = np.lexsort((hr, hc))
+            colstart = np.zeros(PB + 1, np.int64)
+            np.cumsum(colcnt, out=colstart[1:])
+            colrank = np.empty(n_hsc, np.int64)
+            colrank[corder] = np.arange(n_hsc, dtype=np.int64) - colstart[hc[corder]]
+            ckey = hc * maxwc + colrank
+            gkey_up2 = np.where(gid >= 0, rkey[np.maximum(gid, 0)], -1).astype(i32)
+            gkey_cl2 = np.where(gid >= 0, ckey[np.maximum(gid, 0)], -1).astype(i32)
+            up2 = segmm.plan_tiles(gkey_up2, PB * maxw, tile=128, block=512, max_blocks=32)
+            cl2 = segmm.plan_tiles(gkey_cl2, PB * maxwc, tile=128, block=512, max_blocks=32)
+            iru = np.full(PB * maxw, -1, i32)
+            icu = np.full(PB * maxw, -1, i32)
+            iru[rkey] = hr
+            icu[rkey] = hc
+            ipc = np.full(PB * maxwc, -1, i32)
+            irc = np.full(PB * maxwc, -1, i32)
+            ipc[ckey] = hc
+            irc[ckey] = hr
+            occ2 = np.zeros((PB // 64, PB // 128), i32)
+            occ2[hr // 64, hc // 128] = 1
+            occ2[hc // 64, hr // 128] = 1
+            dd = np.arange(PB)
+            occ2[dd // 64, dd // 128] = 1
+            occ2 = occ2.reshape(-1)
+            v2 = up2.ok and cl2.ok
+        if not v2:
+            gkey_up = np.where(gid >= 0, r * PB + c, -1).astype(i32)
+            gkey_lo = np.where((gid >= 0) & (r != c), c * PB + r, -1).astype(i32)
+            # block=128: the combine's MXU cost is ~ num_tiles*n_blocks*block,
+            # and inputs are tiny compact lists — small blocks cut the floor
+            up = segmm.plan_tiles(gkey_up, PB * PB, block=128, max_blocks=64)
+            lo = segmm.plan_tiles(gkey_lo, PB * PB, block=128, max_blocks=64)
+            # band-transpose occupancy: 64x128-block tiles containing any
+            # dense block (data, mirrors, or the diagonal incl. padding)
+            occ = np.zeros((PB // 64, PB // 128), np.int32)
+            v = gid >= 0
+            occ[r[v] // 64, c[v] // 128] = 1
+            occ[c[v] // 64, r[v] // 128] = 1
+            dd = np.arange(PB)
+            occ[dd // 64, dd // 128] = 1
+            occ = occ.reshape(-1)
 
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
     ok = (
         all(p.ok for p in all_plans)
         and sc.ok
-        and up is not None
-        and up.ok
-        and lo.ok
+        and (v2 or (up is not None and up.ok and lo.ok))
         and pad_blocks > 0
     )
     # gather id arrays must exactly match their output geometry
@@ -188,13 +249,30 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     plans = MXUPlans(
         ok, e_pad_m, e_pad_s, hpl_pad, p_src_pad,
         hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pad_blocks, up, lo,
+        v2, maxw, maxwc, up2, cl2,
     )
     if not ok:
         return plans, None
 
+    dummy = np.zeros(1, i32)
+    if v2:
+        v2_consts = dict(
+            gkey_up2=gkey_up2, gkey_cl2=gkey_cl2,
+            bb_up2=np.asarray(up2.base_block, i32),
+            bb_cl2=np.asarray(cl2.base_block, i32),
+            iru=iru, icu=icu, ipc=ipc, irc=irc, occ2=occ2,
+        )
+        # fallback-path constants become dummies (not uploaded at size)
+        gkey_up = gkey_lo = dummy
+        bb_up = bb_lo = occ_c = dummy
+    else:
+        v2_consts = {}
+        bb_up = np.asarray(up.base_block, i32)
+        bb_lo = np.asarray(lo.base_block, i32)
+        occ_c = occ
+
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
-    i32 = np.int32
     consts = MXUConsts(
         pose_acc_m=pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p),
         pose_acc_s=pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p),
@@ -217,11 +295,12 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         sc_lk=np.asarray(sc.lk, i32),
         gkey_up=gkey_up,
         gkey_lo=gkey_lo,
-        bb_up=np.asarray(up.base_block, i32),
-        bb_lo=np.asarray(lo.base_block, i32),
-        occ=occ,
+        bb_up=bb_up,
+        bb_lo=bb_lo,
+        occ=occ_c,
         hsc_row=np.asarray(s.hsc_row, i32),
         hsc_col=np.asarray(s.hsc_col, i32),
+        **v2_consts,
     )
     return plans, consts
 
@@ -352,6 +431,29 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
         W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
         interpret=interpret,
     )  # [36, C*kwin] per-chunk windows
+
+    if plans.v2:
+        wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
+        win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
+
+        def keys(k):
+            return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
+
+        upT2 = segmm.tiled_segsum(
+            win, keys(mc.gkey_up2), PB * plans.maxw, plans.up2, mc.bb_up2,
+            interpret=interpret)
+        clT2 = segmm.tiled_segsum(
+            win, keys(mc.gkey_cl2), PB * plans.maxwc, plans.cl2, mc.bb_cl2,
+            interpret=interpret)
+        Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
+        Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
+        eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
+        dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
+        return segmm.compact_to_dense(
+            upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.occ2,
+            PB, plans.maxw, plans.maxwc, interpret=interpret,
+        ).astype(dtype)
+
     wpad = _round_up(max(plans.up.n_pad, plans.lo.n_pad, win.shape[1]), 1024)
     win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
 

@@ -70,3 +70,53 @@ def test_cholesky_failure_reports_not_ok():
     x, ok = jax.jit(cholesky_solve)(A, b)
     assert not bool(ok)
     assert np.all(np.asarray(x) == 0)
+
+
+def test_trisolve_pallas_matches_dense(rng):
+    """Pallas blocked trisolve kernels (interpret mode) vs NumPy solves.
+
+    These replace XLA's width-1 TriangularSolve on TPU (solver/trisolve.py);
+    on CPU the engine never selects them, so exercise interpret mode here."""
+    from cuba_tpu.solver import trisolve
+    from cuba_tpu.solver.dense_cholesky import cholesky_solve
+
+    n = 768
+    M = rng.standard_normal((n, n)).astype(np.float32)
+    A = (M @ M.T + n * np.eye(n, dtype=np.float32)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    L = np.linalg.cholesky(A)
+
+    # block-recursive triangular inversion
+    Ld = jnp.asarray(
+        np.stack([L[i * 256 : (i + 1) * 256, i * 256 : (i + 1) * 256] for i in range(3)])
+    )
+    inv = np.asarray(trisolve.tri_inv_blocks(Ld))
+    for i in range(3):
+        np.testing.assert_allclose(inv[i] @ np.asarray(Ld[i]), np.eye(256), atol=5e-6)
+
+    Lj = jnp.asarray(L)
+    invd = trisolve.prepare(Lj, interpret=True)
+    y = np.asarray(trisolve.solve_lower(Lj, invd, jnp.asarray(b), interpret=True))
+    y_ref = np.linalg.solve(L, b)
+    np.testing.assert_allclose(y, y_ref, rtol=0, atol=2e-5 * np.abs(y_ref).max())
+    x = np.asarray(trisolve.solve_upper(Lj, invd, jnp.asarray(y), interpret=True))
+    x_ref = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+    np.testing.assert_allclose(x, x_ref, rtol=0, atol=2e-5 * np.abs(x_ref).max())
+    mv = np.asarray(trisolve.matvec(jnp.asarray(A), jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(mv, A @ x, rtol=0, atol=1e-4 * np.abs(A @ x).max())
+
+    # full equilibrated solve through the public entry point
+    xs, ok = cholesky_solve(jnp.asarray(A), jnp.asarray(b), 2, use_pallas=True, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(xs), x_ref, rtol=0, atol=1e-5 * np.abs(x_ref).max())
+
+
+def test_trisolve_usable_gate():
+    from cuba_tpu.solver import trisolve
+
+    assert trisolve.usable(768, jnp.float32)
+    assert trisolve.usable(8448, jnp.float32)
+    assert not trisolve.usable(768, jnp.float64)  # Mosaic has no f64
+    assert not trisolve.usable(700, jnp.float32)  # not a block multiple
+    assert not trisolve.usable(256, jnp.float32)  # single panel: XLA is fine
+    assert not trisolve.usable(200_000, jnp.float32)  # stripe exceeds VMEM
