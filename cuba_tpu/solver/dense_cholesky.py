@@ -47,7 +47,37 @@ def cholesky_solve(
     d = jnp.diagonal(A)
     s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, A.dtype)))
     As = A * s[:, None] * s[None, :]
-    L = jnp.linalg.cholesky(As)
+
+    # Diagonal-boost retry: fp32 Schur assembly noise makes the equilibrated
+    # matrix marginally indefinite at moderate LM damping (a hard "lambda
+    # cliff" ~2-60x above the current lambda at kitti00 scale, measured).
+    # When the factorization goes non-finite, refactor with a small shift
+    # delta*I (equilibrated diagonal is 1, so delta is relative).  Iterative
+    # refinement below recomputes residuals against the ORIGINAL A, so the
+    # shifted factor still converges to the unshifted solution when the true
+    # matrix is PD — and when it is not, the LM gain-ratio check rejects the
+    # step exactly as the reference's zero-pivot path does
+    # (cuda_linear_solver.cpp:175-189), but without a ~100x lambda overshoot
+    # that stalls the trajectory for several iterations.
+    if A.dtype == jnp.float32:
+        n = A.shape[0]
+
+        def boost_cond(c):
+            delta, L, tries = c
+            return ~jnp.isfinite(jnp.sum(L[-1])) & (tries < 4)
+
+        def boost_body(c):
+            delta, L, tries = c
+            delta = jnp.where(delta == 0, jnp.float32(1e-5), delta * 32.0)
+            L2 = jnp.linalg.cholesky(As + delta * jnp.eye(n, dtype=As.dtype))
+            return delta, L2, tries + 1
+
+        _, L, _ = jax.lax.while_loop(
+            boost_cond, boost_body,
+            (jnp.float32(0.0), jnp.linalg.cholesky(As), jnp.int32(0)),
+        )
+    else:
+        L = jnp.linalg.cholesky(As)
 
     if use_pallas is None:
         use_pallas = (
@@ -77,7 +107,16 @@ def cholesky_solve(
     x = solve_with(b)
     for _ in range(refinement_steps):
         r = b - mv(x)
-        x = x + solve_with(r)
+        x2 = x + solve_with(r)
+        # Refinement diverges (overflows to inf) when assembly noise makes
+        # the system numerically indefinite while the factorization itself
+        # stays finite — measured at kitti00 scale near the fp32 "lambda
+        # cliff".  Keep the last finite iterate: the LM gain-ratio check
+        # rejects a poor step at nu-doubling cost instead of this solve
+        # reporting ok=False and triggering the much larger numerical
+        # escalation (which overshoots lambda and stalls the trajectory).
+        finite = jnp.isfinite(jnp.sum(x2))
+        x = jnp.where(finite, x2, x)
 
     ok = jnp.all(jnp.isfinite(x))
     x = jnp.where(ok, x, jnp.zeros_like(x))

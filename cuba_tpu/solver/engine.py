@@ -162,6 +162,11 @@ class BlockSolverEngine:
         state_np = State(
             qs=np.asarray(s.qs, dt), ts=np.asarray(s.ts, dt), Xws=np.asarray(s.Xws, dt)
         )
+        # the XLA-path constants (SchurConsts triplets, per-edge Hpl slots)
+        # are ~21MB at kitti00 scale and never traced when the MXU path is
+        # active — don't pay the tunnel transfer for them
+        dummy = np.zeros(1, idt)
+        opt = (lambda a: dummy) if self.use_mxu else (lambda a: np.asarray(a, idt))
         consts_np = Consts(
             cams=np.asarray(s.cams, dt),
             mono=EdgeConsts(
@@ -169,23 +174,23 @@ class BlockSolverEngine:
                 omega=np.asarray(s.mono.omegas, dt),
                 pose_idx=np.asarray(s.mono.pose_idx, idt),
                 lm_idx=np.asarray(s.mono.lm_idx, idt),
-                edge2hpl=np.asarray(s.edge2hpl[: s.mono.count], idt),
+                edge2hpl=opt(s.edge2hpl[: s.mono.count]),
             ),
             stereo=EdgeConsts(
                 meas=np.asarray(s.stereo.measurements, dt),
                 omega=np.asarray(s.stereo.omegas, dt),
                 pose_idx=np.asarray(s.stereo.pose_idx, idt),
                 lm_idx=np.asarray(s.stereo.lm_idx, idt),
-                edge2hpl=np.asarray(s.edge2hpl[s.mono.count :], idt),
+                edge2hpl=opt(s.edge2hpl[s.mono.count :]),
             ),
             sc=SchurConsts(
-                hpl_row=np.asarray(s.hpl_row, idt),
-                hpl_col=np.asarray(s.hpl_col, idt),
-                hsc_row=np.asarray(s.hsc_row, idt),
-                hsc_col=np.asarray(s.hsc_col, idt),
-                mul_i=np.asarray(s.mul_i, idt),
-                mul_j=np.asarray(s.mul_j, idt),
-                mul_k=np.asarray(s.mul_k, idt),
+                hpl_row=opt(s.hpl_row),
+                hpl_col=opt(s.hpl_col),
+                hsc_row=opt(s.hsc_row),
+                hsc_col=opt(s.hsc_col),
+                mul_i=opt(s.mul_i),
+                mul_j=opt(s.mul_j),
+                mul_k=opt(s.mul_k),
             ),
             mxu=mxu_consts,
         )

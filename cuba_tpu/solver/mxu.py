@@ -298,8 +298,10 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_up=bb_up,
         bb_lo=bb_lo,
         occ=occ_c,
-        hsc_row=np.asarray(s.hsc_row, i32),
-        hsc_col=np.asarray(s.hsc_col, i32),
+        # device-side hsc ids became dead when the scatter-based dense
+        # formation was replaced (schur_dense_mxu); keep 1-elt placeholders
+        hsc_row=dummy,
+        hsc_col=dummy,
         **v2_consts,
     )
     return plans, consts
@@ -312,16 +314,44 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
 
 def _terms_T(qs, cams, err, Xc, ec, mdim, kernel, e_pad):
     """Per-edge weighted GN terms, transposed + lane-padded:
-    ([42,e_pad],[12,e_pad],[18,e_pad])."""
-    Hpp_e, bp_e, Hll_e, bl_e, Hpl_e = assembly.quadratic_form_terms(
-        qs, cams, err, Xc, ec, mdim, kernel
+    ([42,e_pad],[12,e_pad],[18,e_pad]).
+
+    Rows are built as [E] vectors and stacked, so the [D, E] outputs are
+    written natively — the einsum-then-``.T`` formulation this replaces
+    materialized [E, 42] and paid a ~9ms XLA transpose (10 GB/s relayout,
+    docs/PERF_NOTES.md) per build at kitti00 scale.
+    """
+    from cuba_tpu.ops import jacobians, robust
+
+    q = qs[ec.pose_idx]
+    cam = cams[ec.pose_idx]
+    x = ec.omega * jnp.sum(err * err, axis=-1)
+    w = ec.omega * robust.weight(x, kernel[0], kernel[1])
+    JP, JL = jacobians.compute(Xc, q, cam, mdim)  # [E, mdim, 6], [E, mdim, 3]
+    wJP = [[w * JP[:, k, i] for i in range(6)] for k in range(mdim)]
+    JPv = [[JP[:, k, j] for j in range(6)] for k in range(mdim)]
+    wJL = [[w * JL[:, k, a] for a in range(3)] for k in range(mdim)]
+    JLv = [[JL[:, k, b] for b in range(3)] for k in range(mdim)]
+    ev = [err[:, k] for k in range(mdim)]
+
+    rows42 = [
+        sum(wJP[k][i] * JPv[k][j] for k in range(mdim))
+        for i in range(6) for j in range(6)
+    ] + [sum(wJP[k][i] * ev[k] for k in range(mdim)) for i in range(6)]
+    rows12 = [
+        sum(wJL[k][a] * JLv[k][b] for k in range(mdim))
+        for a in range(3) for b in range(3)
+    ] + [sum(wJL[k][a] * ev[k] for k in range(mdim)) for a in range(3)]
+    rows18 = [
+        sum(wJP[k][i] * JLv[k][b] for k in range(mdim))
+        for i in range(6) for b in range(3)
+    ]
+    pad = ((0, 0), (0, e_pad - err.shape[0]))
+    return (
+        jnp.pad(jnp.stack(rows42), pad),
+        jnp.pad(jnp.stack(rows12), pad),
+        jnp.pad(jnp.stack(rows18), pad),
     )
-    E = Hpp_e.shape[0]
-    v42 = jnp.concatenate([Hpp_e.reshape(E, 36), bp_e], axis=1).T
-    v12 = jnp.concatenate([Hll_e.reshape(E, 9), bl_e], axis=1).T
-    v18 = Hpl_e.reshape(E, 18).T
-    pad = ((0, 0), (0, e_pad - E))
-    return jnp.pad(v42, pad), jnp.pad(v12, pad), jnp.pad(v18, pad)
 
 
 def build_system_mxu(qs, cams, num_p, num_l, mono, stereo, err2, Xc2, err3, Xc3,

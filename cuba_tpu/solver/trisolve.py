@@ -97,13 +97,16 @@ def prepare(L: jnp.ndarray, *, block: int = BLOCK, interpret: bool = False):
     return tri_inv_blocks(Ld)
 
 
-# HIGHEST: the MXU's default fp32 path is bf16 passes (~1.5e-3 rel err,
-# docs/PERF_NOTES.md) — unusable for substitution, and a bf16 refinement
-# matvec caps the whole solve at ~1e-3.  The extra passes are free here:
-# every stripe matmul is bandwidth-bound.
+# Precision split: the refinement MATVEC must be fp32-exact (HIGHEST, 6
+# MXU passes) — a bf16 residual caps the whole solve at ~1e-3.  The solve
+# SWEEPS tolerate default precision (bf16 passes): their error is exactly
+# what iterative refinement corrects, and 1 MXU pass instead of 6 makes
+# each sweep DMA-bound.  The diagonal-block products stay HIGHEST (tiny,
+# and substitution error compounds through the panel chain).
 _MM = dict(
     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
 )
+_MM_SWEEP = dict(preferred_element_type=jnp.float32)
 
 
 def _params(n: int, B: int):
@@ -134,7 +137,7 @@ def solve_lower(L, invd, b, *, block: int = BLOCK, interpret: bool = False):
         rk = bk_ref[:] + d_ref[pl.ds(k * B, B), :]  # [B, 1]
         seg = jax.lax.dot_general(invd_ref[0], rk, (((1,), (0,)), ((), ())), **_MM)
         yk_ref[:] = seg
-        d_ref[:] -= jax.lax.dot_general(Lc_ref[:], seg, (((1,), (0,)), ((), ())), **_MM)
+        d_ref[:] -= jax.lax.dot_general(Lc_ref[:], seg, (((1,), (0,)), ((), ())), **_MM_SWEEP)
 
     y = pl.pallas_call(
         kern,
@@ -174,7 +177,7 @@ def solve_upper(L, invd, y, *, block: int = BLOCK, interpret: bool = False):
         seg = jax.lax.dot_general(invd_ref[0], rk, (((0,), (0,)), ((), ())), **_MM)
         xk_ref[:] = seg
         # d -= L[kB:(k+1)B, :]^T @ seg
-        d_ref[:] -= jax.lax.dot_general(Lr_ref[:], seg, (((0,), (0,)), ((), ())), **_MM)
+        d_ref[:] -= jax.lax.dot_general(Lr_ref[:], seg, (((0,), (0,)), ((), ())), **_MM_SWEEP)
 
     rev = lambda g: K - 1 - g
     x = pl.pallas_call(
