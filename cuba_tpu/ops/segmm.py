@@ -52,16 +52,27 @@ HIGHEST = jax.lax.Precision.HIGHEST
 ONEHOT_PREC = "onehot_bf16x3"
 
 
+def _trunc_bf16(x):
+    """fp32 -> fp32 with the low 16 mantissa bits zeroed (exactly
+    bf16-representable).  Done by bit masking, NOT astype: Pallas interpret
+    mode treats astype(bfloat16) as a value-preserving relabel, which would
+    silently collapse the 3-term split to one rounded pass."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _dot(a, b, precision):
     if precision == ONEHOT_PREC:
         bb = b.astype(jnp.bfloat16)
-        a1 = a.astype(jnp.bfloat16)
-        r = a - a1.astype(jnp.float32)
-        a2 = r.astype(jnp.bfloat16)
-        a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+        h1 = _trunc_bf16(a)
+        r = a - h1
+        h2 = _trunc_bf16(r)
+        a3 = (r - h2).astype(jnp.bfloat16)
         dims = (((1,), (0,)), ((), ()))
-        out = jax.lax.dot_general(a1, bb, dims, preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(a2, bb, dims, preferred_element_type=jnp.float32)
+        out = jax.lax.dot_general(h1.astype(jnp.bfloat16), bb, dims,
+                                  preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(h2.astype(jnp.bfloat16), bb, dims,
+                                   preferred_element_type=jnp.float32)
         out += jax.lax.dot_general(a3, bb, dims, preferred_element_type=jnp.float32)
         return out
     return jax.lax.dot_general(
@@ -744,3 +755,52 @@ def compact_to_dense(
         interpret=interpret,
     )(occ, upT, iru.reshape(1, PBmw), icu.reshape(1, PBmw),
       clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)
+
+
+# ---------------------------------------------------------------------------
+# resident_gather: out[:, n] = src[:, ids[n]] with the whole source in VMEM
+# ---------------------------------------------------------------------------
+
+
+def resident_gather(
+    src: jnp.ndarray,  # [D, S_pad] transposed source (S_pad <= a few K)
+    ids: jnp.ndarray,  # [N_pad] int32 source column per output (-1 -> zeros)
+    *,
+    chunk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-hot MXU gather with a fully VMEM-resident source — the pose-side
+    per-edge gather (q/t/cam, 12 rows from <=4k poses).  The XLA gather this
+    replaces runs at ~5-10 GB/s (~6.4ms per residual pass at kitti00 scale,
+    docs/PERF_NOTES.md); as a [D, S] @ one-hot [S, chunk] matmul it is
+    ~0.3ms.  Source rows are real values: the bf16x3 split keeps fp32
+    exactness (ONEHOT_PREC splits the value operand)."""
+    D, S = src.shape
+    N = ids.shape[0]
+    assert N % chunk == 0 and S % 128 == 0, (N, chunk, S)
+    grid = N // chunk
+
+    def kern(ids_ref, src_ref, out_ref):
+        idv = ids_ref[0, :]
+        Q = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 0) == idv[None, :]
+        ).astype(src_ref.dtype)
+        out_ref[:] = _dot(src_ref[:], Q, ONEHOT_PREC)
+
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda c: (c * 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, S), lambda c: (c * 0, c * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((D, chunk), lambda c: (c * 0, c), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, N), jnp.float32),
+        interpret=interpret,
+    )(ids.reshape(1, N), src)
+
+
+def resident_gather_xla(src, ids):
+    safe = jnp.clip(ids, 0, src.shape[1] - 1)
+    valid = (ids >= 0) & (ids < src.shape[1])
+    return jnp.where(valid[None, :], src[:, safe], 0.0)

@@ -156,31 +156,39 @@ class BlockSolverEngine:
             else:
                 mxu_consts = None
         self.use_mxu = self.mxu_plans is not None
+        # rows front end: transposed residuals/terms via one-hot gathers
+        # (solver/edgerows.py); falls back to the AoS residual path when the
+        # pose table is too large for the resident gather
+        self.use_rows = self.use_mxu and self.mxu_plans.rows_ok
         # build the whole constant set as NumPy, then upload in ONE
         # device_put: each separate transfer costs ~30ms of tunnel latency
         # (docs/PERF_NOTES.md) and there are ~40 arrays here.
         state_np = State(
             qs=np.asarray(s.qs, dt), ts=np.asarray(s.ts, dt), Xws=np.asarray(s.Xws, dt)
         )
-        # the XLA-path constants (SchurConsts triplets, per-edge Hpl slots)
-        # are ~21MB at kitti00 scale and never traced when the MXU path is
-        # active — don't pay the tunnel transfer for them
+        # the XLA-path constants (SchurConsts triplets, per-edge Hpl slots,
+        # and — on the rows front end — the whole AoS edge set) are ~25MB at
+        # kitti00 scale and never traced when the fast paths are active —
+        # don't pay the tunnel transfer for them
         dummy = np.zeros(1, idt)
+        dummy_f = np.zeros(1, dt)
         opt = (lambda a: dummy) if self.use_mxu else (lambda a: np.asarray(a, idt))
+        ropt = (lambda a, t=dt: np.asarray(a, t)) if not self.use_rows else (
+            lambda a, t=dt: dummy if t == idt else dummy_f)
         consts_np = Consts(
             cams=np.asarray(s.cams, dt),
             mono=EdgeConsts(
-                meas=np.asarray(s.mono.measurements, dt),
-                omega=np.asarray(s.mono.omegas, dt),
-                pose_idx=np.asarray(s.mono.pose_idx, idt),
-                lm_idx=np.asarray(s.mono.lm_idx, idt),
+                meas=ropt(s.mono.measurements),
+                omega=ropt(s.mono.omegas),
+                pose_idx=ropt(s.mono.pose_idx, idt),
+                lm_idx=ropt(s.mono.lm_idx, idt),
                 edge2hpl=opt(s.edge2hpl[: s.mono.count]),
             ),
             stereo=EdgeConsts(
-                meas=np.asarray(s.stereo.measurements, dt),
-                omega=np.asarray(s.stereo.omegas, dt),
-                pose_idx=np.asarray(s.stereo.pose_idx, idt),
-                lm_idx=np.asarray(s.stereo.lm_idx, idt),
+                meas=ropt(s.stereo.measurements),
+                omega=ropt(s.stereo.omegas),
+                pose_idx=ropt(s.stereo.pose_idx, idt),
+                lm_idx=ropt(s.stereo.lm_idx, idt),
                 edge2hpl=opt(s.edge2hpl[s.mono.count :]),
             ),
             sc=SchurConsts(
@@ -246,7 +254,20 @@ class BlockSolverEngine:
     # ------------------------------------------------------------------
 
     def _residuals_and_chi(self, state: State, consts: Consts):
-        """computeErrors equivalent (cpp:368-382): residuals, Xcs, total chi."""
+        """computeErrors equivalent (cpp:368-382): residuals, Xcs, total chi.
+
+        Rows path (use_rows): returns (pack_m, pack_s, None, None, chi)
+        where the packs are the transposed [d, E] row bundles that
+        build_system_rows consumes — same arity as the AoS return so every
+        caller forwards them blindly."""
+        if self.use_rows:
+            pack_m, pack_s, chi = mxu.edge_rows_mxu(
+                state.qs, state.ts, state.Xws, consts.cams, self.kernels,
+                self.chi_dtype,
+                (self.structure.mono.count, self.structure.stereo.count),
+                self.mxu_plans, consts.mxu, interpret=self.mxu_interpret,
+            )
+            return pack_m, pack_s, None, None, chi
         chi = jnp.zeros((), self.chi_dtype)
         err2, Xc2 = assembly.edge_residuals(
             state.qs, state.ts, consts.cams, state.Xws, consts.mono, 2
@@ -267,6 +288,12 @@ class BlockSolverEngine:
     def _build(self, state: State, consts: Consts, err2, Xc2, err3, Xc3):
         """Quadratic-form assembly.  Returns a path-specific system pytree:
         XLA path: (Hpp, bp, Hll, bl, Hpl); MXU path: (HppT, HllT, HplT)."""
+        if self.use_rows:
+            # err2/Xc2 carry the row packs from the rows residual pass
+            return mxu.build_system_rows(
+                err2, Xc2, self.kernels, self.num_p, self.num_l,
+                self.mxu_plans, consts.mxu, interpret=self.mxu_interpret,
+            )
         if self.use_mxu:
             return mxu.build_system_mxu(
                 state.qs, consts.cams, self.num_p, self.num_l,

@@ -63,6 +63,12 @@ class MXUPlans:
     maxwc: int = 0  # max Hsc blocks per block-column
     up2: Optional[segmm.TilePlan] = None  # windows -> row-rank keys
     cl2: Optional[segmm.TilePlan] = None  # windows -> col-rank keys
+    # transposed per-edge front end (solver/edgerows.py): one-hot gathers
+    # feed [d, E] row math; rows_ok gates it (pose table must fit VMEM)
+    rows_ok: bool = False
+    p_res_pad: int = 0  # padded pose-source columns for resident_gather
+    xwg_m: Optional[segmm.TilePlan] = None  # landmark-row gather windows
+    xwg_s: Optional[segmm.TilePlan] = None
 
 
 class MXUConsts(NamedTuple):
@@ -109,6 +115,19 @@ class MXUConsts(NamedTuple):
     ipc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block col per col-rank slot
     irc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block row per col-rank slot
     occ2: jnp.ndarray = np.zeros(1, np.int32)  # [T_P*T_Q] v2 tile occupancy
+    # rows front-end constants (1-element dummies when plans.rows_ok False).
+    # *_gid are UNGATED vertex ids (-1 only on padding): residuals include
+    # fixed-vertex edges; the quadratic form's gating stays in pose_acc/lm_acc
+    pose_gid_m: jnp.ndarray = np.zeros(1, np.int32)  # [e_pad_m]
+    pose_gid_s: jnp.ndarray = np.zeros(1, np.int32)  # [e_pad_s]
+    lm_gid_m: jnp.ndarray = np.zeros(1, np.int32)
+    lm_gid_s: jnp.ndarray = np.zeros(1, np.int32)
+    bb_xwg_m: jnp.ndarray = np.zeros(1, np.int32)
+    bb_xwg_s: jnp.ndarray = np.zeros(1, np.int32)
+    measT_m: jnp.ndarray = np.zeros((1, 1), np.float32)  # [2, e_pad_m]
+    measT_s: jnp.ndarray = np.zeros((1, 1), np.float32)  # [3, e_pad_s]
+    omegaT_m: jnp.ndarray = np.zeros(1, np.float32)  # [e_pad_m], 0 on padding
+    omegaT_s: jnp.ndarray = np.zeros(1, np.float32)
 
 
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
@@ -236,6 +255,26 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
             occ[dd // 64, dd // 128] = 1
             occ = occ.reshape(-1)
 
+    # transposed per-edge front end: ungated vertex ids for the one-hot
+    # gathers (solver/edgerows.py).  The pose table rides fully VMEM-resident
+    # in resident_gather (gate at 4k poses); landmark rows use windowed
+    # tiled_gather over the landmark-major edge order.
+    total_p = int(s.qs.shape[0])
+    total_l = int(s.Xws.shape[0])
+    p_res_pad = _round_up(max(total_p, 1), 128)
+    pose_gid_m = pad_ids(s.mono.pose_idx, e_pad_m)
+    pose_gid_s = pad_ids(s.stereo.pose_idx, e_pad_s)
+    lm_gid_m = pad_ids(s.mono.lm_idx, e_pad_m)
+    lm_gid_s = pad_ids(s.stereo.lm_idx, e_pad_s)
+    xwg_m = segmm.plan_gather_tiles(lm_gid_m, total_l)
+    xwg_s = segmm.plan_gather_tiles(lm_gid_s, total_l)
+    rows_ok = (
+        p_res_pad <= 4096
+        and xwg_m.ok and xwg_s.ok
+        and xwg_m.num_tiles * xwg_m.tile == e_pad_m
+        and xwg_s.num_tiles * xwg_s.tile == e_pad_s
+    )
+
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
     ok = (
         all(p.ok for p in all_plans)
@@ -250,11 +289,32 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         ok, e_pad_m, e_pad_s, hpl_pad, p_src_pad,
         hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pad_blocks, up, lo,
         v2, maxw, maxwc, up2, cl2,
+        rows_ok, p_res_pad, xwg_m, xwg_s,
     )
     if not ok:
         return plans, None
 
     dummy = np.zeros(1, i32)
+    if rows_ok:
+        Em_, Es_ = s.mono.count, s.stereo.count
+        measT_m = np.zeros((2, e_pad_m), np.float32)
+        measT_m[:, :Em_] = np.asarray(s.mono.measurements, np.float32).T
+        measT_s = np.zeros((3, e_pad_s), np.float32)
+        measT_s[:, :Es_] = np.asarray(s.stereo.measurements, np.float32).T
+        omegaT_m = np.zeros(e_pad_m, np.float32)
+        omegaT_m[:Em_] = np.asarray(s.mono.omegas, np.float32)
+        omegaT_s = np.zeros(e_pad_s, np.float32)
+        omegaT_s[:Es_] = np.asarray(s.stereo.omegas, np.float32)
+        rows_consts = dict(
+            pose_gid_m=pose_gid_m, pose_gid_s=pose_gid_s,
+            lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
+            bb_xwg_m=np.asarray(xwg_m.base_block, i32),
+            bb_xwg_s=np.asarray(xwg_s.base_block, i32),
+            measT_m=measT_m, measT_s=measT_s,
+            omegaT_m=omegaT_m, omegaT_s=omegaT_s,
+        )
+    else:
+        rows_consts = {}
     if v2:
         v2_consts = dict(
             gkey_up2=gkey_up2, gkey_cl2=gkey_cl2,
@@ -303,6 +363,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         hsc_row=dummy,
         hsc_col=dummy,
         **v2_consts,
+        **rows_consts,
     )
     return plans, consts
 
@@ -352,6 +413,76 @@ def _terms_T(qs, cams, err, Xc, ec, mdim, kernel, e_pad):
         jnp.pad(jnp.stack(rows12), pad),
         jnp.pad(jnp.stack(rows18), pad),
     )
+
+
+def edge_rows_mxu(qs, ts, Xws, cams, kernels, chi_dtype, counts,
+                  plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """Transposed residual front end (solver/edgerows.py): one-hot gathers +
+    [d, E] row math.  Returns (pack_m, pack_s, chi); pack = (g12 [12,E],
+    errT [mdim,E], XcT [3,E], inv_z [E]) or None for an absent edge type.
+
+    Replaces the AoS edge_residuals path whose XLA gathers run at ~5-10
+    GB/s and whose [E, mdim] layout uses 2-3 of 128 lanes
+    (docs/PERF_NOTES.md: gathers 6.4ms + compute 3.7ms per pass)."""
+    from cuba_tpu.solver import edgerows
+
+    total_p = qs.shape[0]
+    psrc = jnp.concatenate([qs, ts, cams], axis=1).T  # [12, total_p]
+    psrc = jnp.pad(psrc, ((0, 0), (0, plans.p_res_pad - total_p)))
+    XwT = Xws.T  # [3, total_l]
+    chi = jnp.zeros((), chi_dtype)
+    packs = []
+    for count, pgid, lgid, xwg, bbx, measT, omegaT, mdim, kern in (
+        (counts[0], mc.pose_gid_m, mc.lm_gid_m, plans.xwg_m, mc.bb_xwg_m,
+         mc.measT_m, mc.omegaT_m, 2, kernels[0]),
+        (counts[1], mc.pose_gid_s, mc.lm_gid_s, plans.xwg_s, mc.bb_xwg_s,
+         mc.measT_s, mc.omegaT_s, 3, kernels[1]),
+    ):
+        if count == 0:
+            packs.append(None)
+            continue
+        g12 = segmm.resident_gather(psrc, pgid, interpret=interpret)
+        src_pad = max(xwg.n_pad, _round_up(XwT.shape[1], xwg.block))
+        xw = segmm.tiled_gather(
+            jnp.pad(XwT, ((0, 0), (0, src_pad - XwT.shape[1]))),
+            lgid, xwg, bbx, interpret=interpret,
+        )
+        err, Xc, _R, inv_z = edgerows.residual_rows(
+            g12, xw, measT, pgid >= 0, mdim
+        )
+        chi = chi + edgerows.chi_rows(err, omegaT, kern, chi_dtype)
+        packs.append((g12, jnp.stack(err), jnp.stack(list(Xc)), inv_z))
+    return packs[0], packs[1], chi
+
+
+def build_system_rows(pack_m, pack_s, kernels, num_p, num_l,
+                      plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """build_system_mxu over row packs from edge_rows_mxu — the GN term rows
+    are computed in [d, E] layout and fed straight to the one-hot segment
+    reductions (no [E, ...] materialization anywhere)."""
+    from cuba_tpu.solver import edgerows
+
+    outs = []
+    for pack, omegaT, mdim, kern, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl in (
+        (pack_m, mc.omegaT_m, 2, kernels[0], mc.pose_acc_m, mc.lm_acc_m,
+         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m),
+        (pack_s, mc.omegaT_s, 3, kernels[1], mc.pose_acc_s, mc.lm_acc_s,
+         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s),
+    ):
+        if pack is None:
+            continue
+        g12, errT, XcT, inv_z = pack
+        R = edgerows.rotmat_rows(g12[0:4])
+        v42, v12, v18 = edgerows.term_rows(
+            errT, (XcT[0], XcT[1], XcT[2]), R, inv_z, g12, omegaT, kern, mdim
+        )
+        HppT = segmm.accum_segsum(v42, pose_ids, num_p, interpret=interpret)
+        HllT = segmm.tiled_segsum(v12, lm_ids, num_l, hll_p, bb_hll, interpret=interpret)
+        HplT = segmm.tiled_segsum(v18, e2h, plans.hpl_pad, hpl_p, bb_hpl, interpret=interpret)
+        outs.append((HppT, HllT, HplT))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(a + b for a, b in zip(outs[0], outs[1]))
 
 
 def build_system_mxu(qs, cams, num_p, num_l, mono, stereo, err2, Xc2, err3, Xc3,
