@@ -188,3 +188,50 @@ def schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin):
     finally:
         lib.ba_sp_free(h)
     return kwin, ok, int(C), int(n_slot_pad), int(n_hsc_pad), sb, li, lj, lk, gid
+
+
+def _bind_reorder(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ba_locality_reorder.restype = None
+    lib.ba_locality_reorder.argtypes = [
+        i32p, i32p, ctypes.c_int64,
+        i32p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i64p, i32p, i32p,
+    ]
+
+
+def locality_reorder(mono_pi, mono_li, stereo_pi, stereo_li, total_p, total_l, num_l):
+    """C++ locality reorder (solver/structure.py::_locality_reorder).  Returns
+    (rank[num_l] i64, mono_perm i64, stereo_perm i64, mono_new_li i32 sorted,
+    stereo_new_li i32 sorted) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_reorder_bound"):
+        try:
+            _bind_reorder(lib)
+        except AttributeError:  # stale .so without the symbol
+            return None
+        lib._reorder_bound = True
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    mpi = np.ascontiguousarray(mono_pi, np.int32)
+    mli = np.ascontiguousarray(mono_li, np.int32)
+    spi = np.ascontiguousarray(stereo_pi, np.int32)
+    sli = np.ascontiguousarray(stereo_li, np.int32)
+    rank = np.empty(num_l, np.int64)
+    mono_perm = np.empty(mpi.size, np.int64)
+    stereo_perm = np.empty(spi.size, np.int64)
+    mono_new_li = np.empty(mpi.size, np.int32)
+    stereo_new_li = np.empty(spi.size, np.int32)
+    lib.ba_locality_reorder(
+        mpi.ctypes.data_as(i32p), mli.ctypes.data_as(i32p), mpi.size,
+        spi.ctypes.data_as(i32p), sli.ctypes.data_as(i32p), spi.size,
+        int(total_p), int(total_l), int(num_l),
+        rank.ctypes.data_as(i64p),
+        mono_perm.ctypes.data_as(i64p), stereo_perm.ctypes.data_as(i64p),
+        mono_new_li.ctypes.data_as(i32p), stereo_new_li.ctypes.data_as(i32p),
+    )
+    return rank, mono_perm, stereo_perm, mono_new_li, stereo_new_li

@@ -44,6 +44,40 @@ struct SymbolicResult {
   std::vector<int32_t> edge2lk;  // [E], slot into [num_l*K]; num_l*K if none
 };
 
+// Stable LSD radix sort of (key, payload) by key, 16-bit digits, skipping
+// passes above the highest set bit.  ~6x faster than std::stable_sort on
+// the multi-million-element triplet/edge sorts here (single-core host).
+void radix_sort_pairs(std::vector<int64_t>& keys, std::vector<int64_t>& payload,
+                      int64_t max_key) {
+  const size_t n = keys.size();
+  if (n <= 1) return;
+  int passes = 0;
+  while (max_key > 0 && passes < 4) {
+    ++passes;
+    max_key >>= 16;
+  }
+  std::vector<int64_t> kbuf(n), pbuf(n);
+  std::vector<int64_t> cnt(size_t(1) << 16);
+  for (int p = 0; p < passes; ++p) {
+    const int shift = p * 16;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (size_t t = 0; t < n; ++t) cnt[(keys[t] >> shift) & 0xFFFF]++;
+    int64_t run = 0;
+    for (size_t d = 0; d < cnt.size(); ++d) {
+      int64_t c = cnt[d];
+      cnt[d] = run;
+      run += c;
+    }
+    for (size_t t = 0; t < n; ++t) {
+      const int64_t slot = cnt[(keys[t] >> shift) & 0xFFFF]++;
+      kbuf[slot] = keys[t];
+      pbuf[slot] = payload[t];
+    }
+    keys.swap(kbuf);
+    payload.swap(pbuf);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -134,37 +168,35 @@ void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
     int64_t len = col_start[l + 1] - col_start[l];
     n_pairs += len * (len + 1) / 2;
   }
-  struct Trip {
-    int64_t key;  // row_i * num_p + row_j
-    int32_t i, j;
-  };
-  std::vector<Trip> trips;
-  trips.reserve(n_pairs);
+  std::vector<int64_t> trip_key;
+  std::vector<int64_t> trip_ab;  // slot pair packed a * n_hpl + b
+  trip_key.reserve(n_pairs);
+  trip_ab.reserve(n_pairs);
   for (int32_t l = 0; l < num_l; ++l) {
     for (int64_t a = col_start[l]; a < col_start[l + 1]; ++a) {
       const int64_t ra = res->hpl_row[a];
       for (int64_t b = a; b < col_start[l + 1]; ++b) {
-        trips.push_back({ra * num_p + res->hpl_row[b], static_cast<int32_t>(a),
-                         static_cast<int32_t>(b)});
+        trip_key.push_back(ra * num_p + res->hpl_row[b]);
+        trip_ab.push_back(a * n_hpl + b);
       }
     }
   }
-  std::stable_sort(trips.begin(), trips.end(),
-                   [](const Trip& x, const Trip& y) { return x.key < y.key; });
-  res->mul_i.resize(trips.size());
-  res->mul_j.resize(trips.size());
-  res->mul_k.resize(trips.size());
+  radix_sort_pairs(trip_key, trip_ab,
+                   static_cast<int64_t>(num_p) * num_p);
+  res->mul_i.resize(trip_key.size());
+  res->mul_j.resize(trip_key.size());
+  res->mul_k.resize(trip_key.size());
   int64_t prev_key = -1;
   int32_t k = -1;
-  for (size_t t = 0; t < trips.size(); ++t) {
-    if (trips[t].key != prev_key) {
-      prev_key = trips[t].key;
+  for (size_t t = 0; t < trip_key.size(); ++t) {
+    if (trip_key[t] != prev_key) {
+      prev_key = trip_key[t];
       ++k;
       res->hsc_row.push_back(static_cast<int32_t>(prev_key / num_p));
       res->hsc_col.push_back(static_cast<int32_t>(prev_key % num_p));
     }
-    res->mul_i[t] = trips[t].i;
-    res->mul_j[t] = trips[t].j;
+    res->mul_i[t] = static_cast<int32_t>(trip_ab[t] / n_hpl);
+    res->mul_j[t] = static_cast<int32_t>(trip_ab[t] % n_hpl);
     res->mul_k[t] = k;
   }
 
@@ -332,5 +364,54 @@ void ba_sp_copy(const void* h, int32_t* sb, int32_t* li, int32_t* lj,
   copy32(r->gid, gid);
 }
 void ba_sp_free(void* h) { delete static_cast<SchurPlanResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// Locality reorder (C++ port of solver/structure.py::_locality_reorder):
+// renumber ACTIVE landmarks by min observing pose, then sort each edge type
+// by (new landmark, pose).  Writes results into caller-allocated buffers:
+//   rank       [num_l]   int64  new index per old active-landmark index
+//   *_perm     [n_*]     int64  sort permutation per edge type
+//   *_new_li   [n_*]     int32  remapped landmark index, permuted (sorted)
+// ---------------------------------------------------------------------------
+
+void ba_locality_reorder(const int32_t* mono_pi, const int32_t* mono_li,
+                         int64_t n_mono, const int32_t* stereo_pi,
+                         const int32_t* stereo_li, int64_t n_stereo,
+                         int32_t total_p, int32_t total_l, int32_t num_l,
+                         int64_t* rank, int64_t* mono_perm,
+                         int64_t* stereo_perm, int32_t* mono_new_li,
+                         int32_t* stereo_new_li) {
+  // min observing pose per active landmark; total_p = "never observed"
+  std::vector<int32_t> minp(num_l, total_p);
+  auto scan = [&](const int32_t* pi, const int32_t* li, int64_t n) {
+    for (int64_t e = 0; e < n; ++e)
+      if (li[e] < num_l) minp[li[e]] = std::min(minp[li[e]], pi[e]);
+  };
+  scan(mono_pi, mono_li, n_mono);
+  scan(stereo_pi, stereo_li, n_stereo);
+  // stable counting sort of landmarks by minp -> rank
+  std::vector<int64_t> cnt(static_cast<size_t>(total_p) + 2, 0);
+  for (int32_t l = 0; l < num_l; ++l) cnt[minp[l] + 1]++;
+  std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
+  for (int32_t l = 0; l < num_l; ++l) rank[l] = cnt[minp[l]]++;
+
+  // per edge type: stable sort by (new landmark, pose)
+  auto remap_sort = [&](const int32_t* pi, const int32_t* li, int64_t n,
+                        int64_t* perm, int32_t* new_li) {
+    std::vector<int64_t> keys(n), idx(n);
+    for (int64_t e = 0; e < n; ++e) {
+      const int64_t nl = li[e] < num_l ? rank[li[e]] : li[e];
+      keys[e] = nl * total_p + pi[e];
+      idx[e] = e;
+    }
+    radix_sort_pairs(keys, idx, static_cast<int64_t>(total_l) * total_p);
+    for (int64_t e = 0; e < n; ++e) {
+      perm[e] = idx[e];
+      new_li[e] = static_cast<int32_t>(keys[e] / total_p);
+    }
+  };
+  remap_sort(mono_pi, mono_li, n_mono, mono_perm, mono_new_li);
+  remap_sort(stereo_pi, stereo_li, n_stereo, stereo_perm, stereo_new_li);
+}
 
 }  // extern "C"

@@ -87,7 +87,12 @@ def _packed_device_put(tree):
     Per-leaf device_put issues one ~30ms round-trip per array through the
     serving tunnel (~40 leaves -> 1.4s); packing into a single flat array
     per dtype and slicing device-side costs two transfers + cheap async
-    on-device slices."""
+    on-device slices.
+
+    int16 leaves are a transfer-compression convention: index tables whose
+    values fit int16 (plan_mxu narrows them) ride the wire at half width and
+    are widened back to int32 during the on-device unpack, so every kernel
+    still sees int32 ids."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     groups: Dict[np.dtype, list] = {}
     for i, leaf in enumerate(leaves):
@@ -112,7 +117,10 @@ def _packed_device_put(tree):
             out = [None] * len(leaves)
             for i, g, off, shape in meta:
                 size = int(np.prod(shape)) if shape else 1
-                out[i] = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
+                leaf = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
+                if leaf.dtype == jnp.int16:
+                    leaf = leaf.astype(jnp.int32)
+                out[i] = leaf
             return tuple(out)
 
         _JIT_CACHE[key] = jax.jit(unpack)

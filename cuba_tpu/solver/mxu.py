@@ -306,7 +306,8 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         omegaT_s = np.zeros(e_pad_s, np.float32)
         omegaT_s[:Es_] = np.asarray(s.stereo.omegas, np.float32)
         rows_consts = dict(
-            pose_gid_m=pose_gid_m, pose_gid_s=pose_gid_s,
+            pose_gid_m=pose_gid_m.astype(np.int16),  # rows gate: num_p <= 4096
+            pose_gid_s=pose_gid_s.astype(np.int16),
             lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
             bb_xwg_m=np.asarray(xwg_m.base_block, i32),
             bb_xwg_s=np.asarray(xwg_s.base_block, i32),
@@ -331,16 +332,24 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_lo = np.asarray(lo.base_block, i32)
         occ_c = occ
 
+    def narrow(a):
+        """int16 when values fit — halves the wire cost of the big index
+        tables (engine._packed_device_put widens back to int32 on device)."""
+        a = np.asarray(a)
+        if a.size == 0 or (a.min() >= -32768 and a.max() <= 32767):
+            return a.astype(np.int16)
+        return a.astype(i32)
+
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
     consts = MXUConsts(
-        pose_acc_m=pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p),
-        pose_acc_s=pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p),
+        pose_acc_m=narrow(pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)),
+        pose_acc_s=narrow(pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)),
         lm_acc_m=lm_m,
         lm_acc_s=lm_s,
         e2h_m=e2h_m,
         e2h_s=e2h_s,
-        hpl_row=hrow,
+        hpl_row=narrow(hrow),
         hpl_col=hcol,
         bb_hll_m=np.asarray(hll_m.base_block, i32),
         bb_hll_s=np.asarray(hll_s.base_block, i32),
@@ -350,9 +359,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_xpg=np.asarray(xpg.base_block, i32),
         bb_cl=np.asarray(cl.base_block, i32),
         sc_sb=np.asarray(sc.sb, i32),
-        sc_li=np.asarray(sc.li, i32),
-        sc_lj=np.asarray(sc.lj, i32),
-        sc_lk=np.asarray(sc.lk, i32),
+        sc_li=narrow(sc.li),
+        sc_lj=narrow(sc.lj),
+        sc_lk=narrow(sc.lk),
         gkey_up=gkey_up,
         gkey_lo=gkey_lo,
         bb_up=bb_up,

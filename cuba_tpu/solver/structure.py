@@ -296,6 +296,47 @@ def _locality_reorder(num_l, mono: EdgeArrays, stereo: EdgeArrays, Xws):
     pose-locality the MXU window kernels need (solver/mxu.py): without it,
     a chunk of landmark-sorted triplets scatters across the whole Hsc block
     range.  Returns (rank[num_l], mono_perm, stereo_perm, Xws)."""
+    from cuba_tpu import native
+
+    native_out = None
+    if native.get_lib() is not None:
+        total_p = int(
+            max(
+                mono.pose_idx.max(initial=-1),
+                stereo.pose_idx.max(initial=-1),
+            )
+            + 1
+        )
+        total_l = int(
+            max(
+                mono.lm_idx.max(initial=-1),
+                stereo.lm_idx.max(initial=-1),
+                num_l - 1,
+            )
+            + 1
+        )
+        native_out = native.locality_reorder(
+            mono.pose_idx, mono.lm_idx, stereo.pose_idx, stereo.lm_idx,
+            max(total_p, 1), max(total_l, 1), num_l,
+        )
+    if native_out is not None:
+        rank, mono_perm, stereo_perm, mono_new_li, stereo_new_li = native_out
+
+        def apply(ec: EdgeArrays, perm, new_li):
+            return EdgeArrays(
+                ec.measurements[perm], ec.omegas[perm], ec.pose_idx[perm], new_li
+            )
+
+        Xws = Xws.copy()
+        Xws[:num_l] = Xws[:num_l][np.argsort(rank, kind="stable")]
+        return (
+            rank,
+            apply(mono, mono_perm, mono_new_li),
+            mono_perm,
+            apply(stereo, stereo_perm, stereo_new_li),
+            stereo_perm,
+            Xws,
+        )
     minp = np.full(num_l, np.int64(1) << 60, np.int64)
     for ec in (mono, stereo):
         li = np.asarray(ec.lm_idx, np.int64)
