@@ -211,6 +211,18 @@ class BlockSolverEngine:
             mxu=mxu_consts,
         )
         self.state, self.consts = _packed_device_put((state_np, consts_np))
+        if self.use_mxu:
+            # expand wire-compressed index tables on device (mxu.derive_consts
+            # docstring); one cached jitted dispatch
+            key = ("derive", self.num_p, self.num_l, self.use_rows,
+                   jax.tree_util.tree_structure(self.consts.mxu),
+                   tuple((l.shape, str(l.dtype))
+                         for l in jax.tree_util.tree_leaves(self.consts.mxu)))
+            if key not in _JIT_CACHE:
+                _JIT_CACHE[key] = jax.jit(
+                    lambda mc: mxu.derive_consts(mc, self.num_p, self.num_l, self.use_rows)
+                )
+            self.consts = self.consts._replace(mxu=_JIT_CACHE[key](self.consts.mxu))
 
         # every value the jitted closures capture from `self`, hashable —
         # engines with equal specs share compiled functions via _JIT_CACHE

@@ -128,6 +128,11 @@ class MXUConsts(NamedTuple):
     measT_s: jnp.ndarray = np.zeros((1, 1), np.float32)  # [3, e_pad_s]
     omegaT_m: jnp.ndarray = np.zeros(1, np.float32)  # [e_pad_m], 0 on padding
     omegaT_s: jnp.ndarray = np.zeros(1, np.float32)
+    # wire-compression: sc_li/sc_lj packed as (li+1)<<16 | (lj+1); the gated
+    # pose_acc/lm_acc tables ride as dummies when rows_ok (derivable from the
+    # ungated *_gid tables).  engine calls derive_consts() once on device to
+    # expand these — kernels never see the packed forms.
+    sc_lij: jnp.ndarray = np.zeros(1, np.int32)
 
 
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
@@ -340,13 +345,30 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
             return a.astype(np.int16)
         return a.astype(i32)
 
+    # wire-compression (tunnel ~50MB/s): pack the schur local ids into one
+    # int32 when they fit 15 bits, and skip the gated acc tables when the
+    # rows front end uploads the ungated gids anyway (engine.derive_consts
+    # expands both on device).
+    li16 = np.asarray(sc.li, np.int64)
+    lj16 = np.asarray(sc.lj, np.int64)
+    pack_sc = bool(li16.size and li16.max() < 32767 and lj16.max() < 32767
+                   and li16.min() >= -1 and lj16.min() >= -1)
+    if pack_sc:
+        sc_lij = (((li16 + 1) << 16) | (lj16 + 1)).astype(np.int32)
+        sc_li = sc_lj = dummy
+    else:
+        sc_lij = dummy
+        sc_li, sc_lj = None, None  # filled below via narrow()
+
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
     consts = MXUConsts(
-        pose_acc_m=narrow(pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)),
-        pose_acc_s=narrow(pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)),
-        lm_acc_m=lm_m,
-        lm_acc_s=lm_s,
+        pose_acc_m=dummy if rows_ok else narrow(
+            pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)),
+        pose_acc_s=dummy if rows_ok else narrow(
+            pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)),
+        lm_acc_m=dummy if rows_ok else lm_m,
+        lm_acc_s=dummy if rows_ok else lm_s,
         e2h_m=e2h_m,
         e2h_s=e2h_s,
         hpl_row=narrow(hrow),
@@ -359,9 +381,10 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_xpg=np.asarray(xpg.base_block, i32),
         bb_cl=np.asarray(cl.base_block, i32),
         sc_sb=np.asarray(sc.sb, i32),
-        sc_li=narrow(sc.li),
-        sc_lj=narrow(sc.lj),
+        sc_li=sc_li if pack_sc else narrow(sc.li),
+        sc_lj=sc_lj if pack_sc else narrow(sc.lj),
         sc_lk=narrow(sc.lk),
+        sc_lij=sc_lij,
         gkey_up=gkey_up,
         gkey_lo=gkey_lo,
         bb_up=bb_up,
@@ -375,6 +398,26 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         **rows_consts,
     )
     return plans, consts
+
+
+def derive_consts(mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool) -> MXUConsts:
+    """Expand the wire-compressed constants on device (engine calls this in
+    one jitted dispatch right after the packed upload): unpack sc_lij into
+    sc_li/sc_lj and derive the gated acc tables from the ungated gids."""
+    upd = {}
+    if mc.sc_lij.size > 1:
+        upd["sc_li"] = (mc.sc_lij >> 16) - 1
+        upd["sc_lj"] = (mc.sc_lij & 0xFFFF) - 1
+
+    if rows_ok:
+        def gate(g, n):
+            return jnp.where((g >= 0) & (g < n), g, -1)
+
+        upd["pose_acc_m"] = gate(mc.pose_gid_m, num_p)
+        upd["pose_acc_s"] = gate(mc.pose_gid_s, num_p)
+        upd["lm_acc_m"] = gate(mc.lm_gid_m, num_l)
+        upd["lm_acc_s"] = gate(mc.lm_gid_s, num_l)
+    return mc._replace(**upd)
 
 
 # ---------------------------------------------------------------------------
