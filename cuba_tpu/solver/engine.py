@@ -260,6 +260,7 @@ class BlockSolverEngine:
         if p is None:
             return None
         tp = lambda t: None if t is None else (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
+        aw = lambda t: None if t is None else (t.chunk, t.win, t.num_chunks, t.out_pad, t.ok)
         sc = p.schur
         return (
             p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
@@ -267,6 +268,8 @@ class BlockSolverEngine:
             tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
             p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
             (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
+            p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
+            aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
         )
 
     # ------------------------------------------------------------------

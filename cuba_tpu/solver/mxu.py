@@ -69,6 +69,11 @@ class MXUPlans:
     p_res_pad: int = 0  # padded pose-source columns for resident_gather
     xwg_m: Optional[segmm.TilePlan] = None  # landmark-row gather windows
     xwg_s: Optional[segmm.TilePlan] = None
+    # windowed pose-side accumulates (ids banded by the landmark-major edge
+    # order): ~5x fewer MXU passes than the full-width one-hot accum
+    paw_m: Optional[segmm.AccumWindowPlan] = None
+    paw_s: Optional[segmm.AccumWindowPlan] = None
+    paw_b: Optional[segmm.AccumWindowPlan] = None  # bsc accumulate over hpl_row
 
 
 class MXUConsts(NamedTuple):
@@ -133,6 +138,10 @@ class MXUConsts(NamedTuple):
     # ungated *_gid tables).  engine calls derive_consts() once on device to
     # expand these — kernels never see the packed forms.
     sc_lij: jnp.ndarray = np.zeros(1, np.int32)
+    # windowed-accum chunk bases (dummies when the matching plan is absent)
+    wb_paw_m: jnp.ndarray = np.zeros(1, np.int32)
+    wb_paw_s: jnp.ndarray = np.zeros(1, np.int32)
+    wb_paw_b: jnp.ndarray = np.zeros(1, np.int32)
 
 
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
@@ -280,6 +289,14 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         and xwg_s.num_tiles * xwg_s.tile == e_pad_s
     )
 
+    # windowed pose-side accumulates (gated per-plan at the call sites)
+    pacc_m = pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)
+    pacc_s = pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)
+    hrow_np = pad_ids(s.hpl_row, hpl_pad)
+    paw_m = segmm.plan_accum_windows(pacc_m, num_p)
+    paw_s = segmm.plan_accum_windows(pacc_s, num_p)
+    paw_b = segmm.plan_accum_windows(hrow_np, num_p)
+
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
     ok = (
         all(p.ok for p in all_plans)
@@ -295,6 +312,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pad_blocks, up, lo,
         v2, maxw, maxwc, up2, cl2,
         rows_ok, p_res_pad, xwg_m, xwg_s,
+        paw_m, paw_s, paw_b,
     )
     if not ok:
         return plans, None
@@ -363,10 +381,8 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
     consts = MXUConsts(
-        pose_acc_m=dummy if rows_ok else narrow(
-            pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)),
-        pose_acc_s=dummy if rows_ok else narrow(
-            pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)),
+        pose_acc_m=dummy if rows_ok else narrow(pacc_m),
+        pose_acc_s=dummy if rows_ok else narrow(pacc_s),
         lm_acc_m=dummy if rows_ok else lm_m,
         lm_acc_s=dummy if rows_ok else lm_s,
         e2h_m=e2h_m,
@@ -385,6 +401,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         sc_lj=sc_lj if pack_sc else narrow(sc.lj),
         sc_lk=narrow(sc.lk),
         sc_lij=sc_lij,
+        wb_paw_m=np.asarray(paw_m.wb, i32) if paw_m.ok else dummy,
+        wb_paw_s=np.asarray(paw_s.wb, i32) if paw_s.ok else dummy,
+        wb_paw_b=np.asarray(paw_b.wb, i32) if paw_b.ok else dummy,
         gkey_up=gkey_up,
         gkey_lo=gkey_lo,
         bb_up=bb_up,
@@ -507,6 +526,16 @@ def edge_rows_mxu(qs, ts, Xws, cams, kernels, chi_dtype, counts,
     return packs[0], packs[1], chi
 
 
+def _pose_accum(v42, pose_ids, num_p, paw, wb, interpret):
+    """Pose-side quadratic-form accumulate: windowed when the plan allows
+    (banded ids from the landmark-major edge order), full-width fallback."""
+    if paw is not None and paw.ok:
+        return segmm.accum_segsum_windowed(
+            v42, pose_ids, num_p, paw, wb, interpret=interpret
+        )
+    return segmm.accum_segsum(v42, pose_ids, num_p, interpret=interpret)
+
+
 def build_system_rows(pack_m, pack_s, kernels, num_p, num_l,
                       plans: MXUPlans, mc: MXUConsts, interpret=False):
     """build_system_mxu over row packs from edge_rows_mxu — the GN term rows
@@ -515,11 +544,13 @@ def build_system_rows(pack_m, pack_s, kernels, num_p, num_l,
     from cuba_tpu.solver import edgerows
 
     outs = []
-    for pack, omegaT, mdim, kern, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl in (
+    for pack, omegaT, mdim, kern, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl, paw, wb in (
         (pack_m, mc.omegaT_m, 2, kernels[0], mc.pose_acc_m, mc.lm_acc_m,
-         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m),
+         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m,
+         plans.paw_m, mc.wb_paw_m),
         (pack_s, mc.omegaT_s, 3, kernels[1], mc.pose_acc_s, mc.lm_acc_s,
-         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s),
+         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s,
+         plans.paw_s, mc.wb_paw_s),
     ):
         if pack is None:
             continue
@@ -528,7 +559,7 @@ def build_system_rows(pack_m, pack_s, kernels, num_p, num_l,
         v42, v12, v18 = edgerows.term_rows(
             errT, (XcT[0], XcT[1], XcT[2]), R, inv_z, g12, omegaT, kern, mdim
         )
-        HppT = segmm.accum_segsum(v42, pose_ids, num_p, interpret=interpret)
+        HppT = _pose_accum(v42, pose_ids, num_p, paw, wb, interpret)
         HllT = segmm.tiled_segsum(v12, lm_ids, num_l, hll_p, bb_hll, interpret=interpret)
         HplT = segmm.tiled_segsum(v18, e2h, plans.hpl_pad, hpl_p, bb_hpl, interpret=interpret)
         outs.append((HppT, HllT, HplT))
@@ -545,16 +576,18 @@ def build_system_mxu(qs, cams, num_p, num_l, mono, stereo, err2, Xc2, err3, Xc3,
     HplT rows: Hpl row-major (i*3+k).
     """
     outs = []
-    for ec, err, Xc, mdim, kern, e_pad, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl in (
+    for ec, err, Xc, mdim, kern, e_pad, pose_ids, lm_ids, e2h, hll_p, hpl_p, bb_hll, bb_hpl, paw, wb in (
         (mono, err2, Xc2, 2, kernels[0], plans.e_pad_m, mc.pose_acc_m, mc.lm_acc_m,
-         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m),
+         mc.e2h_m, plans.hll_m, plans.hpl_m, mc.bb_hll_m, mc.bb_hpl_m,
+         plans.paw_m, mc.wb_paw_m),
         (stereo, err3, Xc3, 3, kernels[1], plans.e_pad_s, mc.pose_acc_s, mc.lm_acc_s,
-         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s),
+         mc.e2h_s, plans.hll_s, plans.hpl_s, mc.bb_hll_s, mc.bb_hpl_s,
+         plans.paw_s, mc.wb_paw_s),
     ):
         if ec.meas.shape[0] == 0:
             continue
         v42, v12, v18 = _terms_T(qs, cams, err, Xc, ec, mdim, kern, e_pad)
-        HppT = segmm.accum_segsum(v42, pose_ids, num_p, interpret=interpret)
+        HppT = _pose_accum(v42, pose_ids, num_p, paw, wb, interpret)
         HllT = segmm.tiled_segsum(v12, lm_ids, num_l, hll_p, bb_hll, interpret=interpret)
         HplT = segmm.tiled_segsum(v18, e2h, plans.hpl_pad, hpl_p, bb_hpl, interpret=interpret)
         outs.append((HppT, HllT, HplT))
@@ -623,7 +656,7 @@ def prepare_factors_mxu(HppT, HllT, HplT, lam, num_p, num_l,
         for i in range(6)
     ])  # [6, hpl_pad]
     # slot ids for the accumulate: hpl_row over padded slots (invalid -> -1)
-    bsc_sub = segmm.accum_segsum(wbl, mc.hpl_row, num_p, interpret=interpret)
+    bsc_sub = _pose_accum(wbl, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
     bscT = HppT[36:42] - bsc_sub
     return iv9, W, bscT, g12
 
