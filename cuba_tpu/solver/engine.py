@@ -81,7 +81,7 @@ def _pad_blocks(num_p: int) -> int:
     return max(((num_p + _BLOCK_PAD - 1) // _BLOCK_PAD) * _BLOCK_PAD, _BLOCK_PAD)
 
 
-def _packed_device_put(tree):
+def _packed_device_put(tree, transform=None, transform_key=None):
     """device_put a pytree of NumPy arrays with ONE transfer per dtype.
 
     Per-leaf device_put issues one ~30ms round-trip per array through the
@@ -94,38 +94,111 @@ def _packed_device_put(tree):
     are widened back to int32 during the on-device unpack, so every kernel
     still sees int32 ids."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+    # transparent delta8 wire-compression: a 1-D int table whose trailing
+    # run is a constant pad and whose intra-1024-chunk first differences fit
+    # int8 (sorted/banded id tables: landmark gids, hpl_col, pose sawtooths)
+    # ships as int8 deltas + int32 chunk bases — 2-4x fewer bytes on a
+    # ~90MB/s tunnel.  Decoded in the same unpack dispatch by a cumsum.
+    CH = 1024
+
+    def try_d8(arr):
+        if arr.ndim != 1 or arr.size < 4096 or arr.dtype not in (np.int32, np.int16):
+            return None
+        x = arr.astype(np.int64)
+        pad_val = int(x[-1])
+        nz = np.nonzero(x != pad_val)[0]
+        V = int(nz[-1]) + 1 if nz.size else 0  # index after last non-pad value
+        if V < 2048:
+            return None
+        body = x[:V]
+        Cv = (V + CH - 1) // CH
+        dfull = np.zeros(Cv * CH, np.int64)
+        dfull[1:V] = np.diff(body)
+        dfull[::CH] = 0  # chunk leads ride in the int32 bases instead
+        if dfull.max() > 127 or dfull.min() < -128:
+            return None
+        return (
+            body[::CH].astype(np.int32),
+            dfull.astype(np.int8),
+            V,
+            arr.size,
+            pad_val,
+            str(arr.dtype),
+        )
+
     groups: Dict[np.dtype, list] = {}
+    enc = {}
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        groups.setdefault(arr.dtype, []).append((i, arr))
-    flats = []
-    meta = []  # (leaf index, group index, offset, shape)
-    for g, (dtype, items) in enumerate(groups.items()):
-        flats.append(np.concatenate([a.ravel() for _, a in items]))
+        e = try_d8(arr)
+        if e is not None:
+            starts, dfull, V, N, pad_val, dts = e
+            groups.setdefault(starts.dtype, []).append(((i, "b"), starts))
+            groups.setdefault(dfull.dtype, []).append(((i, "d"), dfull))
+            enc[i] = (V, N, pad_val, dts, starts.size, dfull.size)
+        else:
+            groups.setdefault(arr.dtype, []).append(((i, "p"), arr))
+    meta = []  # ((leaf index, part), dtype str, byte offset of group, elem offset, shape)
+    byte_parts = []
+    byte_off = 0
+    group_info = []  # (dtype str, byte offset, elem count)
+    for dtype, items in groups.items():
+        flat = np.concatenate([a.ravel() for _, a in items])
+        byte_parts.append(flat.view(np.uint8))
         off = 0
-        for i, a in items:
-            meta.append((i, g, off, a.shape))
+        for part_key, a in items:
+            meta.append((part_key, str(dtype), off, a.shape))
             off += a.size
-    d_flats = jax.device_put(tuple(flats))  # one transfer per dtype
+        group_info.append((str(dtype), byte_off, flat.size))
+        byte_off += flat.nbytes
+    blob = np.concatenate(byte_parts)  # ONE transfer for everything
+    d_blob = jax.device_put(blob)
 
-    # unpack in ONE jitted dispatch (eager slices cost a tunnel round-trip each)
-    spec = tuple(meta) + tuple((f.dtype.str, f.shape) for f in flats)
-    key = ("unpack", spec)
+    # unpack in ONE jitted dispatch (eager slices cost a tunnel round-trip
+    # each); `transform` (e.g. mxu.derive_consts) rides in the same dispatch
+    spec = tuple(meta) + tuple(group_info) + tuple(sorted(enc.items())) + (blob.size,)
+    key = ("unpack", spec, transform_key)
     if key not in _JIT_CACHE:
 
-        def unpack(*fs):
-            out = [None] * len(leaves)
-            for i, g, off, shape in meta:
+        def unpack(bb):
+            gviews = {}
+            for dts, boff, count in group_info:
+                dt = np.dtype(dts)
+                raw = jax.lax.slice(bb, (boff,), (boff + count * dt.itemsize,))
+                gviews[dts] = (
+                    jax.lax.bitcast_convert_type(raw.reshape(count, dt.itemsize), dt)
+                    if dt.itemsize > 1
+                    else jax.lax.bitcast_convert_type(raw, dt)
+                )
+            parts = {}
+            for part_key, dts, off, shape in meta:
                 size = int(np.prod(shape)) if shape else 1
-                leaf = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
-                if leaf.dtype == jnp.int16:
-                    leaf = leaf.astype(jnp.int32)
+                parts[part_key] = jax.lax.slice(
+                    gviews[dts], (off,), (off + size,)
+                ).reshape(shape)
+            out = [None] * len(leaves)
+            for i in range(len(leaves)):
+                if i in enc:
+                    V, N, pad_val, dts, _nb, nd = enc[i]
+                    bases = parts[(i, "b")]
+                    deltas = parts[(i, "d")].astype(jnp.int32)
+                    body = (
+                        deltas.reshape(-1, CH).cumsum(axis=1) + bases[:, None]
+                    ).reshape(-1)[:V]
+                    leaf = jnp.concatenate(
+                        [body, jnp.full((N - V,), pad_val, jnp.int32)]
+                    )
+                else:
+                    leaf = parts[(i, "p")]
+                    if leaf.dtype == jnp.int16:
+                        leaf = leaf.astype(jnp.int32)
                 out[i] = leaf
-            return tuple(out)
+            tree_out = jax.tree_util.tree_unflatten(treedef, list(out))
+            return transform(tree_out) if transform is not None else tree_out
 
         _JIT_CACHE[key] = jax.jit(unpack)
-    out = _JIT_CACHE[key](*d_flats)
-    return jax.tree_util.tree_unflatten(treedef, list(out))
+    return _JIT_CACHE[key](d_blob)
 
 
 class BlockSolverEngine:
@@ -210,19 +283,19 @@ class BlockSolverEngine:
             ),
             mxu=mxu_consts,
         )
-        self.state, self.consts = _packed_device_put((state_np, consts_np))
         if self.use_mxu:
-            # expand wire-compressed index tables on device (mxu.derive_consts
-            # docstring); one cached jitted dispatch
-            key = ("derive", self.num_p, self.num_l, self.use_rows,
-                   jax.tree_util.tree_structure(self.consts.mxu),
-                   tuple((l.shape, str(l.dtype))
-                         for l in jax.tree_util.tree_leaves(self.consts.mxu)))
-            if key not in _JIT_CACHE:
-                _JIT_CACHE[key] = jax.jit(
-                    lambda mc: mxu.derive_consts(mc, self.num_p, self.num_l, self.use_rows)
-                )
-            self.consts = self.consts._replace(mxu=_JIT_CACHE[key](self.consts.mxu))
+            # expand the wire-compressed index tables on device in the same
+            # jitted dispatch as the unpack (mxu.derive_consts docstring)
+            np_, nl_, rows_ = self.num_p, self.num_l, self.use_rows
+            transform = lambda t: (
+                t[0], t[1]._replace(mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_))
+            )
+            tkey = ("derive", np_, nl_, rows_)
+        else:
+            transform, tkey = None, None
+        self.state, self.consts = _packed_device_put(
+            (state_np, consts_np), transform, tkey
+        )
 
         # every value the jitted closures capture from `self`, hashable —
         # engines with equal specs share compiled functions via _JIT_CACHE
