@@ -66,8 +66,15 @@ def cholesky_solve(
         )
     # the persistent Pallas factorization (solver/pallas_chol.py) replaces
     # both jnp.linalg.cholesky AND trisolve.prepare: it emits the inverted
-    # diagonal blocks the blocked substitution consumes
-    use_pchol = use_pallas and pallas_chol.usable(A.shape[0], A.dtype)
+    # diagonal blocks the blocked substitution consumes.  EXPERIMENTAL and
+    # off by default: Mosaic runs in-kernel dot_general at bf16 regardless
+    # of the requested precision and the in-kernel diagonal factor is
+    # latency-bound (docs/PERF_NOTES.md) — XLA's cholesky currently wins.
+    use_pchol = (
+        bool(int(__import__("os").environ.get("CUBA_TPU_PALLAS_CHOL", "0")))
+        and use_pallas
+        and pallas_chol.usable(A.shape[0], A.dtype)
+    )
     ts_block = pallas_chol.B if use_pchol else trisolve.BLOCK
     invd = None
 

@@ -44,10 +44,12 @@ class TestPallasChol:
         L, _ = pallas_chol.cholesky_with_inv(jnp.asarray(A), interpret=True)
         assert not bool(jnp.isfinite(jnp.sum(jnp.asarray(L)[-1])))
 
-    def test_cholesky_solve_integration(self):
-        # use_pallas=True routes through pallas_chol + blocked trisolve at
-        # block=pallas_chol.B; refinement against the true A recovers
-        # interpret mode's bf16 factor error on this well-conditioned system
+    def test_cholesky_solve_integration(self, monkeypatch):
+        # CUBA_TPU_PALLAS_CHOL=1 routes through pallas_chol + blocked
+        # trisolve at block=pallas_chol.B; refinement against the true A
+        # recovers interpret mode's bf16 factor error on this
+        # well-conditioned system
+        monkeypatch.setenv("CUBA_TPU_PALLAS_CHOL", "1")
         n = 768
         A = _spd(n, seed=3)
         b = np.random.default_rng(4).standard_normal(n).astype(np.float32)
