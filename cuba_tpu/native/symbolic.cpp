@@ -295,9 +295,7 @@ void* ba_schur_plan(const int32_t* mul_i, const int32_t* mul_j,
   res->lj.assign(C * chunk, -1);
   res->lk.assign(C * chunk, -1);
 
-  // pass 1: per-chunk slot windows + distinct-block counts -> kwin
-  std::vector<std::vector<int32_t>> lists(C);
-  int64_t max_distinct = 1;
+  // pass 1: per-chunk slot windows
   int64_t max_sb = 0;
   for (int64_t c = 0; c < C; ++c) {
     const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
@@ -315,12 +313,37 @@ void* ba_schur_plan(const int32_t* mul_i, const int32_t* mul_j,
     res->sb[c] = static_cast<int32_t>(sbc);
     max_sb = std::max(max_sb, sbc);
     if (smax - sbc * slot_block >= 2 * slot_block) res->ok = 0;
-    auto& lst = lists[c];
-    lst.reserve(e - b);
-    for (int64_t t = b; t < e; ++t) lst.push_back(mul_k[order[t]]);
-    std::sort(lst.begin(), lst.end());
-    lst.erase(std::unique(lst.begin(), lst.end()), lst.end());
-    max_distinct = std::max<int64_t>(max_distinct, lst.size());
+  }
+
+  // distinct output blocks per chunk + per-element local rank, via ONE
+  // global radix sort of (chunk, mul_k) keys instead of C per-chunk sorts
+  std::vector<int64_t> keys(n_mul), payload(n_mul);
+  for (int64_t c = 0; c < C; ++c) {
+    const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
+    for (int64_t t = b; t < e; ++t)
+      keys[t] = c * (static_cast<int64_t>(n_hsc) + 1) + mul_k[order[t]];
+    for (int64_t t = b; t < e; ++t) payload[t] = t;
+  }
+  radix_sort_pairs(keys, payload,
+                   C * (static_cast<int64_t>(n_hsc) + 1));
+  std::vector<int32_t> rank_of(n_mul);
+  std::vector<int64_t> distinct_cnt(C, 0);
+  int64_t max_distinct = 1;
+  {
+    int64_t prev_key = -1;
+    int64_t rank = -1;
+    for (int64_t t = 0; t < n_mul; ++t) {
+      const int64_t c = keys[t] / (n_hsc + 1);
+      if (keys[t] != prev_key) {
+        if (prev_key >= 0 && prev_key / (n_hsc + 1) != c) rank = -1;
+        prev_key = keys[t];
+        ++rank;
+        distinct_cnt[c] = rank + 1;
+      }
+      rank_of[payload[t]] = static_cast<int32_t>(rank);
+    }
+    for (int64_t c = 0; c < C; ++c)
+      max_distinct = std::max(max_distinct, distinct_cnt[c]);
   }
   int64_t kwin = std::min<int64_t>(max_kwin,
                                    std::max<int64_t>(round_up_i64(max_distinct, 128), 128));
@@ -328,19 +351,29 @@ void* ba_schur_plan(const int32_t* mul_i, const int32_t* mul_j,
   res->kwin = static_cast<int32_t>(kwin);
   res->gid.assign(C * kwin, -1);
 
-  // pass 2: local ids
+  // pass 2: local ids + gid tables (sorted-unique blocks per chunk)
+  {
+    int64_t prev_key = -1;
+    int64_t rank = -1;
+    for (int64_t t = 0; t < n_mul; ++t) {
+      const int64_t c = keys[t] / (n_hsc + 1);
+      if (keys[t] != prev_key) {
+        if (prev_key >= 0 && prev_key / (n_hsc + 1) != c) rank = -1;
+        prev_key = keys[t];
+        ++rank;
+        if (rank < kwin)
+          res->gid[c * kwin + rank] = static_cast<int32_t>(keys[t] % (n_hsc + 1));
+      }
+    }
+  }
   for (int64_t c = 0; c < C; ++c) {
-    const auto& lst = lists[c];
-    for (size_t u = 0; u < lst.size() && static_cast<int64_t>(u) < kwin; ++u)
-      res->gid[c * kwin + u] = lst[u];
     const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
     const int64_t base = static_cast<int64_t>(res->sb[c]) * slot_block;
     for (int64_t t = b; t < e; ++t) {
       const int64_t o = order[t];
       res->li[c * chunk + (t - b)] = static_cast<int32_t>(mul_i[o] - base);
       res->lj[c * chunk + (t - b)] = static_cast<int32_t>(mul_j[o] - base);
-      res->lk[c * chunk + (t - b)] = static_cast<int32_t>(
-          std::lower_bound(lst.begin(), lst.end(), mul_k[o]) - lst.begin());
+      res->lk[c * chunk + (t - b)] = rank_of[t];
     }
   }
   res->n_slot_pad = std::max(

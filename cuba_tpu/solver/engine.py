@@ -82,24 +82,26 @@ def _pad_blocks(num_p: int) -> int:
 
 
 def _packed_device_put(tree, transform=None, transform_key=None):
-    """device_put a pytree of NumPy arrays with ONE transfer per dtype.
+    """device_put a pytree of NumPy arrays with ONE transfer per dtype group.
 
     Per-leaf device_put issues one ~30ms round-trip per array through the
     serving tunnel (~40 leaves -> 1.4s); packing into a single flat array
     per dtype and slicing device-side costs two transfers + cheap async
     on-device slices.
 
-    int16 leaves are a transfer-compression convention: index tables whose
-    values fit int16 (plan_mxu narrows them) ride the wire at half width and
-    are widened back to int32 during the on-device unpack, so every kernel
-    still sees int32 ids."""
+    Wire compression (the tunnel moves ~90MB/s with ~50ms per-transfer
+    latency, so both bytes and transfer count matter):
+    * int16 leaves ride shift-packed two-per-int32 inside the int32 group
+      and are widened back to int32 during the on-device unpack;
+    * 1-D int tables whose intra-1024-chunk first differences fit int8
+      (sorted/banded id tables: landmark gids, hpl_col, pose sawtooths)
+      ship as int8 deltas shift-packed four-per-int32 plus int32 chunk
+      bases, rebuilt by an on-device cumsum (delta8);
+    * `transform` (e.g. mxu.derive_consts) runs inside the same unpack
+      dispatch.
+    Everything lands in at most two transfers (float group + int group).
+    """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-
-    # transparent delta8 wire-compression: a 1-D int table whose trailing
-    # run is a constant pad and whose intra-1024-chunk first differences fit
-    # int8 (sorted/banded id tables: landmark gids, hpl_col, pose sawtooths)
-    # ships as int8 deltas + int32 chunk bases — 2-4x fewer bytes on a
-    # ~90MB/s tunnel.  Decoded in the same unpack dispatch by a cumsum.
     CH = 1024
 
     def try_d8(arr):
@@ -111,94 +113,110 @@ def _packed_device_put(tree, transform=None, transform_key=None):
         V = int(nz[-1]) + 1 if nz.size else 0  # index after last non-pad value
         if V < 2048:
             return None
-        body = x[:V]
         Cv = (V + CH - 1) // CH
         dfull = np.zeros(Cv * CH, np.int64)
-        dfull[1:V] = np.diff(body)
+        dfull[1:V] = np.diff(x[:V])
         dfull[::CH] = 0  # chunk leads ride in the int32 bases instead
         if dfull.max() > 127 or dfull.min() < -128:
             return None
-        return (
-            body[::CH].astype(np.int32),
-            dfull.astype(np.int8),
-            V,
-            arr.size,
-            pad_val,
-            str(arr.dtype),
-        )
+        return x[:V:CH].astype(np.int32), dfull.astype(np.int8), V, arr.size, pad_val
 
-    groups: Dict[np.dtype, list] = {}
+    def pack_i16(a):
+        a = a.ravel()
+        if a.size % 2:
+            a = np.concatenate([a, a[-1:]])
+        return np.ascontiguousarray(a).view(np.int32)
+
+    def pack_i8(a):
+        a = a.ravel()
+        if a.size % 4:
+            a = np.concatenate([a, np.zeros(4 - a.size % 4, a.dtype)])
+        return np.ascontiguousarray(a).view(np.int32)
+
+    # part lists: float leaves grouped per float dtype; every int payload
+    # normalizes into ONE int32 group
+    fgroups: Dict[str, list] = {}
+    iparts = []  # (part_key, mode, int32 payload, n_orig)
     enc = {}
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
+        if arr.dtype not in (np.int32, np.int16):
+            # float dtypes and any exotic int ride in plain per-dtype groups
+            fgroups.setdefault(str(arr.dtype), []).append((i, arr))
+            continue
         e = try_d8(arr)
         if e is not None:
-            starts, dfull, V, N, pad_val, dts = e
-            groups.setdefault(starts.dtype, []).append(((i, "b"), starts))
-            groups.setdefault(dfull.dtype, []).append(((i, "d"), dfull))
-            enc[i] = (V, N, pad_val, dts, starts.size, dfull.size)
+            bases, deltas, V, N, pad_val = e
+            iparts.append(((i, "b"), "p32", bases, bases.size))
+            iparts.append(((i, "d"), "p8", pack_i8(deltas), deltas.size))
+            enc[i] = (V, N, pad_val)
+        elif arr.dtype == np.int16:
+            iparts.append(((i, "p"), "p16", pack_i16(arr), arr.size))
         else:
-            groups.setdefault(arr.dtype, []).append(((i, "p"), arr))
-    meta = []  # ((leaf index, part), dtype str, byte offset of group, elem offset, shape)
-    byte_parts = []
-    byte_off = 0
-    group_info = []  # (dtype str, byte offset, elem count)
-    for dtype, items in groups.items():
-        flat = np.concatenate([a.ravel() for _, a in items])
-        byte_parts.append(flat.view(np.uint8))
-        off = 0
-        for part_key, a in items:
-            meta.append((part_key, str(dtype), off, a.shape))
-            off += a.size
-        group_info.append((str(dtype), byte_off, flat.size))
-        byte_off += flat.nbytes
-    blob = np.concatenate(byte_parts)  # ONE transfer for everything
-    d_blob = jax.device_put(blob)
+            iparts.append(((i, "p"), "p32", np.ascontiguousarray(arr.ravel(), np.int32), arr.size))
 
-    # unpack in ONE jitted dispatch (eager slices cost a tunnel round-trip
-    # each); `transform` (e.g. mxu.derive_consts) rides in the same dispatch
-    spec = tuple(meta) + tuple(group_info) + tuple(sorted(enc.items())) + (blob.size,)
+    flats = []
+    fmeta = []  # (leaf index, group index, offset, shape)
+    for g, (dts, items) in enumerate(fgroups.items()):
+        flats.append(np.concatenate([a.ravel() for _, a in items]))
+        off = 0
+        for i, a in items:
+            fmeta.append((i, g, off, a.shape, dts))
+            off += a.size
+    gi = len(flats)
+    imeta = []  # (part_key, mode, offset, packed size, n_orig)
+    ioff = 0
+    ipayload = []
+    for part_key, mode, payload, n_orig in iparts:
+        imeta.append((part_key, mode, ioff, payload.size, n_orig))
+        ipayload.append(payload)
+        ioff += payload.size
+    if ipayload:
+        flats.append(np.concatenate(ipayload))
+    d_flats = jax.device_put(tuple(flats))
+
+    shapes = tuple(np.asarray(l).shape for l in leaves)
+    spec = (tuple(fmeta), tuple(imeta), tuple(sorted(enc.items())), shapes,
+            tuple((f.dtype.str, f.shape) for f in flats))
     key = ("unpack", spec, transform_key)
     if key not in _JIT_CACHE:
 
-        def unpack(bb):
-            gviews = {}
-            for dts, boff, count in group_info:
-                dt = np.dtype(dts)
-                raw = jax.lax.slice(bb, (boff,), (boff + count * dt.itemsize,))
-                gviews[dts] = (
-                    jax.lax.bitcast_convert_type(raw.reshape(count, dt.itemsize), dt)
-                    if dt.itemsize > 1
-                    else jax.lax.bitcast_convert_type(raw, dt)
-                )
-            parts = {}
-            for part_key, dts, off, shape in meta:
-                size = int(np.prod(shape)) if shape else 1
-                parts[part_key] = jax.lax.slice(
-                    gviews[dts], (off,), (off + size,)
-                ).reshape(shape)
+        def unpack(*fs):
             out = [None] * len(leaves)
+            for i, g, off, shape, _dts in fmeta:
+                size = int(np.prod(shape)) if shape else 1
+                out[i] = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
+            parts = {}
+            for part_key, mode, off, psize, n_orig in imeta:
+                v = jax.lax.slice(fs[gi], (off,), (off + psize,))
+                if mode == "p32":
+                    parts[part_key] = v[:n_orig]
+                elif mode == "p16":
+                    lo = (v << 16) >> 16
+                    hi = v >> 16
+                    parts[part_key] = jnp.stack([lo, hi], axis=1).reshape(-1)[:n_orig]
+                else:  # p8: four sign-extended bytes per int32
+                    bs = [((v << (24 - 8 * b)) >> 24) for b in range(4)]
+                    parts[part_key] = jnp.stack(bs, axis=1).reshape(-1)[:n_orig]
             for i in range(len(leaves)):
+                if out[i] is not None:
+                    continue
                 if i in enc:
-                    V, N, pad_val, dts, _nb, nd = enc[i]
-                    bases = parts[(i, "b")]
-                    deltas = parts[(i, "d")].astype(jnp.int32)
+                    V, N, pad_val = enc[i]
                     body = (
-                        deltas.reshape(-1, CH).cumsum(axis=1) + bases[:, None]
+                        parts[(i, "d")].reshape(-1, CH).cumsum(axis=1)
+                        + parts[(i, "b")][:, None]
                     ).reshape(-1)[:V]
-                    leaf = jnp.concatenate(
+                    out[i] = jnp.concatenate(
                         [body, jnp.full((N - V,), pad_val, jnp.int32)]
-                    )
+                    ).reshape(shapes[i])
                 else:
-                    leaf = parts[(i, "p")]
-                    if leaf.dtype == jnp.int16:
-                        leaf = leaf.astype(jnp.int32)
-                out[i] = leaf
+                    out[i] = parts[(i, "p")].reshape(shapes[i])
             tree_out = jax.tree_util.tree_unflatten(treedef, list(out))
             return transform(tree_out) if transform is not None else tree_out
 
         _JIT_CACHE[key] = jax.jit(unpack)
-    return _JIT_CACHE[key](d_blob)
+    return _JIT_CACHE[key](*d_flats)
 
 
 class BlockSolverEngine:
