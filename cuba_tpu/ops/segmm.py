@@ -855,6 +855,48 @@ def compact_to_dense(
 # ---------------------------------------------------------------------------
 
 
+def windowed_gather(
+    src: jnp.ndarray,  # [D, S_pad] transposed source
+    ids: jnp.ndarray,  # [N] int32 source column per output (-1 -> zeros)
+    plan: AccumWindowPlan,  # per-chunk source windows (ids banded)
+    wb: jnp.ndarray,  # device copy of plan.wb (128-column units)
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """resident_gather with per-chunk source windows: the one-hot factor
+    shrinks from [S_pad, chunk] to [win, chunk].  Source stays fully
+    VMEM-resident; each chunk reads only its dynamic 128-aligned slice."""
+    D, S = src.shape
+    N = ids.shape[0]
+    chunk, W, C = plan.chunk, plan.win, plan.num_chunks
+    assert N == C * chunk and S % 128 == 0 and S >= plan.out_pad, (N, S, plan)
+
+    def kern(wb_ref, ids_ref, src_ref, out_ref):
+        c = pl.program_id(0)
+        base = wb_ref[c] * 128
+        rel = ids_ref[0, :] - base
+        Q = (
+            jax.lax.broadcasted_iota(jnp.int32, (W, chunk), 0) == rel[None, :]
+        ).astype(src_ref.dtype)
+        out_ref[:] = _dot(src_ref[:, pl.ds(base, W)], Q, ONEHOT_PREC)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda c, wb: (c * 0, c)),
+            pl.BlockSpec((D, S), lambda c, wb: (c * 0, c * 0)),
+        ],
+        out_specs=pl.BlockSpec((D, chunk), lambda c, wb: (c * 0, c)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, N), jnp.float32),
+        interpret=interpret,
+    )(wb, ids.reshape(1, N), src)
+
+
 def resident_gather(
     src: jnp.ndarray,  # [D, S_pad] transposed source (S_pad <= a few K)
     ids: jnp.ndarray,  # [N_pad] int32 source column per output (-1 -> zeros)

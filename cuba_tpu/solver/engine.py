@@ -361,6 +361,7 @@ class BlockSolverEngine:
             (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
             p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
             aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
+            p.p_res_pad, aw(p.rg_m), aw(p.rg_s),
         )
 
     # ------------------------------------------------------------------

@@ -74,6 +74,11 @@ class MXUPlans:
     paw_m: Optional[segmm.AccumWindowPlan] = None
     paw_s: Optional[segmm.AccumWindowPlan] = None
     paw_b: Optional[segmm.AccumWindowPlan] = None  # bsc accumulate over hpl_row
+    # windowed residual pose gather: poses permuted by first-observing edge
+    # position so the band covers fixed poses too (they sit after actives in
+    # internal order, which would blow the raw-id window)
+    rg_m: Optional[segmm.AccumWindowPlan] = None
+    rg_s: Optional[segmm.AccumWindowPlan] = None
 
 
 class MXUConsts(NamedTuple):
@@ -142,6 +147,12 @@ class MXUConsts(NamedTuple):
     wb_paw_m: jnp.ndarray = np.zeros(1, np.int32)
     wb_paw_s: jnp.ndarray = np.zeros(1, np.int32)
     wb_paw_b: jnp.ndarray = np.zeros(1, np.int32)
+    # windowed residual gather: gather-order pose ranks + source permutation
+    pose_gidr_m: jnp.ndarray = np.zeros(1, np.int32)
+    pose_gidr_s: jnp.ndarray = np.zeros(1, np.int32)
+    res_perm: jnp.ndarray = np.zeros(1, np.int32)  # [p_res_pad] src column order
+    wb_rg_m: jnp.ndarray = np.zeros(1, np.int32)
+    wb_rg_s: jnp.ndarray = np.zeros(1, np.int32)
 
 
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
@@ -289,6 +300,28 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         and xwg_s.num_tiles * xwg_s.tile == e_pad_s
     )
 
+    # windowed residual gather: rank every pose (active AND fixed) by its
+    # first observation in the locality-ordered edge stream, so each chunk's
+    # gather ids form a narrow band over the permuted source table
+    allp = np.concatenate(
+        [np.asarray(s.mono.pose_idx, np.int64), np.asarray(s.stereo.pose_idx, np.int64)]
+    )
+    first = np.full(total_p, np.int64(1) << 60)
+    np.minimum.at(first, allp, np.arange(allp.size, dtype=np.int64))
+    rorder = np.argsort(first, kind="stable")  # gather column -> pose idx
+    prank = np.empty(total_p, np.int64)
+    prank[rorder] = np.arange(total_p)
+    pose_gidr_m = pad_ids(prank[np.asarray(s.mono.pose_idx, np.int64)], e_pad_m)
+    pose_gidr_s = pad_ids(prank[np.asarray(s.stereo.pose_idx, np.int64)], e_pad_s)
+    rg_m = segmm.plan_accum_windows(pose_gidr_m, total_p, max_win=1024)
+    rg_s = segmm.plan_accum_windows(pose_gidr_s, total_p, max_win=1024)
+    rg_usable = rg_m.ok and rg_s.ok
+    if rg_usable:
+        # source must cover every chunk's [base, base+win) slice
+        p_res_pad = max(p_res_pad, rg_m.out_pad, rg_s.out_pad)
+    else:
+        rg_m = rg_s = None
+
     # windowed pose-side accumulates (gated per-plan at the call sites)
     pacc_m = pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)
     pacc_s = pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)
@@ -313,6 +346,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         v2, maxw, maxwc, up2, cl2,
         rows_ok, p_res_pad, xwg_m, xwg_s,
         paw_m, paw_s, paw_b,
+        rg_m, rg_s,
     )
     if not ok:
         return plans, None
@@ -328,10 +362,23 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         omegaT_m[:Em_] = np.asarray(s.mono.omegas, np.float32)
         omegaT_s = np.zeros(e_pad_s, np.float32)
         omegaT_s[:Es_] = np.asarray(s.stereo.omegas, np.float32)
+        if rg_usable:
+            res_perm_np = np.full(p_res_pad, total_p, np.int32)
+            res_perm_np[:total_p] = rorder
+            rg_consts = dict(
+                pose_gidr_m=pose_gidr_m.astype(np.int16),
+                pose_gidr_s=pose_gidr_s.astype(np.int16),
+                res_perm=res_perm_np,
+                wb_rg_m=np.asarray(rg_m.wb, i32),
+                wb_rg_s=np.asarray(rg_s.wb, i32),
+            )
+        else:
+            rg_consts = {}
         rows_consts = dict(
             pose_gid_m=pose_gid_m.astype(np.int16),  # rows gate: num_p <= 4096
             pose_gid_s=pose_gid_s.astype(np.int16),
             lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
+            **rg_consts,
             bb_xwg_m=np.asarray(xwg_m.base_block, i32),
             bb_xwg_s=np.asarray(xwg_s.base_block, i32),
             measT_m=measT_m, measT_s=measT_s,
@@ -500,19 +547,29 @@ def edge_rows_mxu(qs, ts, Xws, cams, kernels, chi_dtype, counts,
     total_p = qs.shape[0]
     psrc = jnp.concatenate([qs, ts, cams], axis=1).T  # [12, total_p]
     psrc = jnp.pad(psrc, ((0, 0), (0, plans.p_res_pad - total_p)))
+    use_rg = plans.rg_m is not None
+    if use_rg:
+        # permute source columns into first-observation order so each
+        # chunk's gather window is narrow (plan_mxu rg_* plans)
+        psrc = psrc[:, mc.res_perm]
     XwT = Xws.T  # [3, total_l]
     chi = jnp.zeros((), chi_dtype)
     packs = []
-    for count, pgid, lgid, xwg, bbx, measT, omegaT, mdim, kern in (
+    for count, pgid, lgid, xwg, bbx, measT, omegaT, mdim, kern, rgp, rgid, rwb in (
         (counts[0], mc.pose_gid_m, mc.lm_gid_m, plans.xwg_m, mc.bb_xwg_m,
-         mc.measT_m, mc.omegaT_m, 2, kernels[0]),
+         mc.measT_m, mc.omegaT_m, 2, kernels[0], plans.rg_m, mc.pose_gidr_m,
+         mc.wb_rg_m),
         (counts[1], mc.pose_gid_s, mc.lm_gid_s, plans.xwg_s, mc.bb_xwg_s,
-         mc.measT_s, mc.omegaT_s, 3, kernels[1]),
+         mc.measT_s, mc.omegaT_s, 3, kernels[1], plans.rg_s, mc.pose_gidr_s,
+         mc.wb_rg_s),
     ):
         if count == 0:
             packs.append(None)
             continue
-        g12 = segmm.resident_gather(psrc, pgid, interpret=interpret)
+        if use_rg:
+            g12 = segmm.windowed_gather(psrc, rgid, rgp, rwb, interpret=interpret)
+        else:
+            g12 = segmm.resident_gather(psrc, pgid, interpret=interpret)
         src_pad = max(xwg.n_pad, _round_up(XwT.shape[1], xwg.block))
         xw = segmm.tiled_gather(
             jnp.pad(XwT, ((0, 0), (0, src_pad - XwT.shape[1]))),
