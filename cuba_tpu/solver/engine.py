@@ -81,7 +81,19 @@ def _pad_blocks(num_p: int) -> int:
     return max(((num_p + _BLOCK_PAD - 1) // _BLOCK_PAD) * _BLOCK_PAD, _BLOCK_PAD)
 
 
-def _packed_device_put(tree, transform=None, transform_key=None):
+class _EarlyRef:
+    """Marker leaf: this value already lives on device inside the early
+    float blob (dispatched before the host planning pass so the transfer
+    overlaps it); the unpack slices it out instead of re-uploading."""
+
+    __slots__ = ("offset", "shape")
+
+    def __init__(self, offset, shape):
+        self.offset = offset
+        self.shape = tuple(shape)
+
+
+def _packed_device_put(tree, transform=None, transform_key=None, early=None):
     """device_put a pytree of NumPy arrays with ONE transfer per dtype group.
 
     Per-leaf device_put issues one ~30ms round-trip per array through the
@@ -105,6 +117,7 @@ def _packed_device_put(tree, transform=None, transform_key=None):
     CH = 1024
 
     def try_d8(arr):
+        """Delta-encode: int8 deltas when they fit, int16 otherwise."""
         if arr.ndim != 1 or arr.size < 4096 or arr.dtype not in (np.int32, np.int16):
             return None
         x = arr.astype(np.int64)
@@ -117,9 +130,14 @@ def _packed_device_put(tree, transform=None, transform_key=None):
         dfull = np.zeros(Cv * CH, np.int64)
         dfull[1:V] = np.diff(x[:V])
         dfull[::CH] = 0  # chunk leads ride in the int32 bases instead
-        if dfull.max() > 127 or dfull.min() < -128:
+        dmax, dmin = dfull.max(), dfull.min()
+        if dmax <= 127 and dmin >= -128:
+            deltas = dfull.astype(np.int8)
+        elif dmax <= 32767 and dmin >= -32768 and arr.dtype == np.int32:
+            deltas = dfull.astype(np.int16)  # still half the int32 wire
+        else:
             return None
-        return x[:V:CH].astype(np.int32), dfull.astype(np.int8), V, arr.size, pad_val
+        return x[:V:CH].astype(np.int32), deltas, V, arr.size, pad_val
 
     def pack_i16(a):
         a = a.ravel()
@@ -138,7 +156,11 @@ def _packed_device_put(tree, transform=None, transform_key=None):
     fgroups: Dict[str, list] = {}
     iparts = []  # (part_key, mode, int32 payload, n_orig)
     enc = {}
+    early_refs = {}
     for i, leaf in enumerate(leaves):
+        if isinstance(leaf, _EarlyRef):
+            early_refs[i] = (leaf.offset, leaf.shape)
+            continue
         arr = np.asarray(leaf)
         if arr.dtype not in (np.int32, np.int16):
             # float dtypes and any exotic int ride in plain per-dtype groups
@@ -147,8 +169,10 @@ def _packed_device_put(tree, transform=None, transform_key=None):
         e = try_d8(arr)
         if e is not None:
             bases, deltas, V, N, pad_val = e
+            dmode = "p8" if deltas.dtype == np.int8 else "p16"
+            dpack = pack_i8(deltas) if dmode == "p8" else pack_i16(deltas)
             iparts.append(((i, "b"), "p32", bases, bases.size))
-            iparts.append(((i, "d"), "p8", pack_i8(deltas), deltas.size))
+            iparts.append(((i, "d"), dmode, dpack, deltas.size))
             enc[i] = (V, N, pad_val)
         elif arr.dtype == np.int16:
             iparts.append(((i, "p"), "p16", pack_i16(arr), arr.size))
@@ -175,14 +199,22 @@ def _packed_device_put(tree, transform=None, transform_key=None):
         flats.append(np.concatenate(ipayload))
     d_flats = jax.device_put(tuple(flats))
 
-    shapes = tuple(np.asarray(l).shape for l in leaves)
+    shapes = tuple(
+        early_refs[i][1] if i in early_refs else np.asarray(l).shape
+        for i, l in enumerate(leaves)
+    )
     spec = (tuple(fmeta), tuple(imeta), tuple(sorted(enc.items())), shapes,
+            tuple(sorted(early_refs.items())),
             tuple((f.dtype.str, f.shape) for f in flats))
     key = ("unpack", spec, transform_key)
     if key not in _JIT_CACHE:
 
         def unpack(*fs):
+            eb = fs[len(flats)] if early_refs else None
             out = [None] * len(leaves)
+            for i, (off, shape) in early_refs.items():
+                size = int(np.prod(shape)) if shape else 1
+                out[i] = jax.lax.slice(eb, (off,), (off + size,)).reshape(shape)
             for i, g, off, shape, _dts in fmeta:
                 size = int(np.prod(shape)) if shape else 1
                 out[i] = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
@@ -216,7 +248,8 @@ def _packed_device_put(tree, transform=None, transform_key=None):
             return transform(tree_out) if transform is not None else tree_out
 
         _JIT_CACHE[key] = jax.jit(unpack)
-    return _JIT_CACHE[key](*d_flats)
+    args = d_flats + (early,) if early_refs else d_flats
+    return _JIT_CACHE[key](*args)
 
 
 class BlockSolverEngine:
@@ -246,6 +279,34 @@ class BlockSolverEngine:
             or (mode == "auto" and jax.default_backend() != "cpu")
         ) and dt == jnp.float32
         self.mxu_interpret = mode == "interpret"
+
+        # dispatch the plan-INDEPENDENT float constants (state, cams,
+        # measurement/omega rows) before the host planning pass: the ~8MB
+        # tunnel transfer overlaps plan_mxu's ~150ms of NumPy/C++ work
+        early_dev = None
+        early_map = {}
+        if want_mxu and dt == np.float32:
+            gm, gs = mxu.guess_e_pads(s)
+            fl = mxu.rows_float_arrays(s, gm, gs)
+            early_items = [
+                ("qs", np.asarray(s.qs, dt)),
+                ("ts", np.asarray(s.ts, dt)),
+                ("Xws", np.asarray(s.Xws, dt)),
+                ("cams", np.asarray(s.cams, dt)),
+                ("measT_m", fl["measT_m"]),
+                ("measT_s", fl["measT_s"]),
+                ("omegaT_m", fl["omegaT_m"]),
+                ("omegaT_s", fl["omegaT_s"]),
+            ]
+            off = 0
+            for name, a in early_items:
+                early_map[name] = _EarlyRef(off, a.shape)
+                off += a.size
+            early_dev = jax.device_put(
+                np.concatenate([a.ravel() for _, a in early_items])
+            )
+            self._early_pads = (gm, gs)
+
         self.mxu_plans = None
         mxu_consts = None
         if want_mxu:
@@ -259,12 +320,29 @@ class BlockSolverEngine:
         # (solver/edgerows.py); falls back to the AoS residual path when the
         # pose table is too large for the resident gather
         self.use_rows = self.use_mxu and self.mxu_plans.rows_ok
+        # keep the early refs only if the planning fixpoint kept the guessed
+        # paddings (it virtually always does); otherwise upload normally
+        use_early = (
+            early_dev is not None
+            and self.use_mxu
+            and getattr(self, "_early_pads", None)
+            == (self.mxu_plans.e_pad_m, self.mxu_plans.e_pad_s)
+        )
+        if not use_early:
+            early_dev, early_map = None, {}
         # build the whole constant set as NumPy, then upload in ONE
         # device_put: each separate transfer costs ~30ms of tunnel latency
         # (docs/PERF_NOTES.md) and there are ~40 arrays here.
-        state_np = State(
-            qs=np.asarray(s.qs, dt), ts=np.asarray(s.ts, dt), Xws=np.asarray(s.Xws, dt)
-        )
+        if use_early:
+            state_np = State(
+                qs=early_map["qs"], ts=early_map["ts"], Xws=early_map["Xws"]
+            )
+        else:
+            state_np = State(
+                qs=np.asarray(s.qs, dt),
+                ts=np.asarray(s.ts, dt),
+                Xws=np.asarray(s.Xws, dt),
+            )
         # the XLA-path constants (SchurConsts triplets, per-edge Hpl slots,
         # and — on the rows front end — the whole AoS edge set) are ~25MB at
         # kitti00 scale and never traced when the fast paths are active —
@@ -274,8 +352,13 @@ class BlockSolverEngine:
         opt = (lambda a: dummy) if self.use_mxu else (lambda a: np.asarray(a, idt))
         ropt = (lambda a, t=dt: np.asarray(a, t)) if not self.use_rows else (
             lambda a, t=dt: dummy if t == idt else dummy_f)
+        if use_early and self.use_rows:
+            mxu_consts = mxu_consts._replace(
+                measT_m=early_map["measT_m"], measT_s=early_map["measT_s"],
+                omegaT_m=early_map["omegaT_m"], omegaT_s=early_map["omegaT_s"],
+            )
         consts_np = Consts(
-            cams=np.asarray(s.cams, dt),
+            cams=early_map["cams"] if use_early else np.asarray(s.cams, dt),
             mono=EdgeConsts(
                 meas=ropt(s.mono.measurements),
                 omega=ropt(s.mono.omegas),
@@ -305,14 +388,17 @@ class BlockSolverEngine:
             # expand the wire-compressed index tables on device in the same
             # jitted dispatch as the unpack (mxu.derive_consts docstring)
             np_, nl_, rows_ = self.num_p, self.num_l, self.use_rows
+            scp_ = self.mxu_plans.sc_pack
             transform = lambda t: (
-                t[0], t[1]._replace(mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_))
+                t[0], t[1]._replace(
+                    mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_, scp_)
+                )
             )
-            tkey = ("derive", np_, nl_, rows_)
+            tkey = ("derive", np_, nl_, rows_, scp_)
         else:
             transform, tkey = None, None
         self.state, self.consts = _packed_device_put(
-            (state_np, consts_np), transform, tkey
+            (state_np, consts_np), transform, tkey, early=early_dev
         )
 
         # every value the jitted closures capture from `self`, hashable —
@@ -361,7 +447,7 @@ class BlockSolverEngine:
             (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
             p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
             aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
-            p.p_res_pad, aw(p.rg_m), aw(p.rg_s),
+            p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack,
         )
 
     # ------------------------------------------------------------------

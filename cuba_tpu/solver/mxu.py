@@ -79,6 +79,9 @@ class MXUPlans:
     # internal order, which would blow the raw-id window)
     rg_m: Optional[segmm.AccumWindowPlan] = None
     rg_s: Optional[segmm.AccumWindowPlan] = None
+    # how the schur local-id trio shipped: "p3" (li|lj|lk in one int32),
+    # "p2" (li|lj packed, lk separate), "none" (separate tables)
+    sc_pack: str = "none"
 
 
 class MXUConsts(NamedTuple):
@@ -155,6 +158,31 @@ class MXUConsts(NamedTuple):
     wb_rg_s: jnp.ndarray = np.zeros(1, np.int32)
 
 
+def guess_e_pads(s: BAStructure) -> Tuple[int, int]:
+    """The edge paddings plan_mxu almost always settles on (its fixpoint
+    iteration rarely grows them) — lets the engine pack and dispatch the
+    plan-independent float constants BEFORE the planning pass so the tunnel
+    transfer overlaps the host symbolic work."""
+    return (
+        max(_round_up(s.mono.count, 1024), 1024),
+        max(_round_up(s.stereo.count, 1024), 1024),
+    )
+
+
+def rows_float_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int) -> dict:
+    """Padded transposed measurement/omega rows for the rows front end."""
+    Em_, Es_ = s.mono.count, s.stereo.count
+    measT_m = np.zeros((2, e_pad_m), np.float32)
+    measT_m[:, :Em_] = np.asarray(s.mono.measurements, np.float32).T
+    measT_s = np.zeros((3, e_pad_s), np.float32)
+    measT_s[:, :Es_] = np.asarray(s.stereo.measurements, np.float32).T
+    omegaT_m = np.zeros(e_pad_m, np.float32)
+    omegaT_m[:Em_] = np.asarray(s.mono.omegas, np.float32)
+    omegaT_s = np.zeros(e_pad_s, np.float32)
+    omegaT_s[:Es_] = np.asarray(s.stereo.omegas, np.float32)
+    return dict(measT_m=measT_m, measT_s=measT_s, omegaT_m=omegaT_m, omegaT_s=omegaT_s)
+
+
 def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
     """Build all window plans + padded device constants.  Host, once.
 
@@ -176,10 +204,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         return out
 
     Em, Es = s.mono.count, s.stereo.count
-    sc = segmm.plan_schur(
-        s.mul_i.astype(np.int64), s.mul_j.astype(np.int64), s.mul_k.astype(np.int64),
-        n_hpl, s.n_hsc,
-    )
+    # pass int32 straight through: the C++ planner consumes int32 and the
+    # int64 round trip cost ~80ms of pure conversion at kitti00 scale
+    sc = segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc)
     e_pad_m = max(_round_up(Em, 1024), 1024)
     e_pad_s = max(_round_up(Es, 1024), 1024)
     hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad)
@@ -353,15 +380,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
 
     dummy = np.zeros(1, i32)
     if rows_ok:
-        Em_, Es_ = s.mono.count, s.stereo.count
-        measT_m = np.zeros((2, e_pad_m), np.float32)
-        measT_m[:, :Em_] = np.asarray(s.mono.measurements, np.float32).T
-        measT_s = np.zeros((3, e_pad_s), np.float32)
-        measT_s[:, :Es_] = np.asarray(s.stereo.measurements, np.float32).T
-        omegaT_m = np.zeros(e_pad_m, np.float32)
-        omegaT_m[:Em_] = np.asarray(s.mono.omegas, np.float32)
-        omegaT_s = np.zeros(e_pad_s, np.float32)
-        omegaT_s[:Es_] = np.asarray(s.stereo.omegas, np.float32)
+        fl = rows_float_arrays(s, e_pad_m, e_pad_s)
+        measT_m, measT_s = fl["measT_m"], fl["measT_s"]
+        omegaT_m, omegaT_s = fl["omegaT_m"], fl["omegaT_s"]
         if rg_usable:
             res_perm_np = np.full(p_res_pad, total_p, np.int32)
             res_perm_np[:total_p] = rorder
@@ -414,13 +435,30 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     # int32 when they fit 15 bits, and skip the gated acc tables when the
     # rows front end uploads the ungated gids anyway (engine.derive_consts
     # expands both on device).
-    li16 = np.asarray(sc.li, np.int64)
-    lj16 = np.asarray(sc.lj, np.int64)
-    pack_sc = bool(li16.size and li16.max() < 32767 and lj16.max() < 32767
-                   and li16.min() >= -1 and lj16.min() >= -1)
-    if pack_sc:
-        sc_lij = (((li16 + 1) << 16) | (lj16 + 1)).astype(np.int32)
+    li32 = np.asarray(sc.li, np.int32)
+    lj32 = np.asarray(sc.lj, np.int32)
+    lk32 = np.asarray(sc.lk, np.int32)
+    # 3-way pack li(11b)|lj(11b)|lk(8b) when compact kwin keeps lk < 254
+    # (typical: slot_block 512 -> locals < 1024, v2 kwin 128); fall back to
+    # the 2-way li|lj pack with lk riding int16 otherwise
+    pack3 = bool(
+        li32.size
+        and li32.max() < 1022 and lj32.max() < 1022 and lk32.max() < 254
+        and li32.min() >= -1 and lj32.min() >= -1 and lk32.min() >= -1
+    )
+    pack_sc = not pack3 and bool(
+        li32.size and li32.max() < 32767 and lj32.max() < 32767
+        and li32.min() >= -1 and lj32.min() >= -1
+    )
+    sc_lk_c = narrow(sc.lk)
+    if pack3:
+        sc_lij = ((li32 + 1) << 19) | ((lj32 + 1) << 8) | (lk32 + 1)
+        sc_li = sc_lj = sc_lk_c = dummy
+        plans.sc_pack = "p3"
+    elif pack_sc:
+        sc_lij = ((li32 + 1) << 16) | (lj32 + 1)
         sc_li = sc_lj = dummy
+        plans.sc_pack = "p2"
     else:
         sc_lij = dummy
         sc_li, sc_lj = None, None  # filled below via narrow()
@@ -444,9 +482,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_xpg=np.asarray(xpg.base_block, i32),
         bb_cl=np.asarray(cl.base_block, i32),
         sc_sb=np.asarray(sc.sb, i32),
-        sc_li=sc_li if pack_sc else narrow(sc.li),
-        sc_lj=sc_lj if pack_sc else narrow(sc.lj),
-        sc_lk=narrow(sc.lk),
+        sc_li=sc_li if (pack3 or pack_sc) else narrow(sc.li),
+        sc_lj=sc_lj if (pack3 or pack_sc) else narrow(sc.lj),
+        sc_lk=sc_lk_c,
         sc_lij=sc_lij,
         wb_paw_m=np.asarray(paw_m.wb, i32) if paw_m.ok else dummy,
         wb_paw_s=np.asarray(paw_s.wb, i32) if paw_s.ok else dummy,
@@ -466,14 +504,21 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     return plans, consts
 
 
-def derive_consts(mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool) -> MXUConsts:
+def derive_consts(
+    mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool, sc_pack: str = "p2"
+) -> MXUConsts:
     """Expand the wire-compressed constants on device (engine calls this in
     one jitted dispatch right after the packed upload): unpack sc_lij into
-    sc_li/sc_lj and derive the gated acc tables from the ungated gids."""
+    sc_li/sc_lj(/sc_lk) and derive the gated acc tables from the gids."""
     upd = {}
     if mc.sc_lij.size > 1:
-        upd["sc_li"] = (mc.sc_lij >> 16) - 1
-        upd["sc_lj"] = (mc.sc_lij & 0xFFFF) - 1
+        if sc_pack == "p3":
+            upd["sc_li"] = (mc.sc_lij >> 19) - 1
+            upd["sc_lj"] = ((mc.sc_lij >> 8) & 0x7FF) - 1
+            upd["sc_lk"] = (mc.sc_lij & 0xFF) - 1
+        else:
+            upd["sc_li"] = (mc.sc_lij >> 16) - 1
+            upd["sc_lj"] = (mc.sc_lij & 0xFFFF) - 1
 
     if rows_ok:
         def gate(g, n):
