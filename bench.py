@@ -96,7 +96,7 @@ def main():
     t0 = time.perf_counter()
     structure = compile_problem()
     engine = BlockSolverEngine(structure, kernels, config)
-    result = jax.block_until_ready(engine.optimize(engine.state, args.iters))
+    result = jax.block_until_ready(engine.optimize(None, args.iters))
     warm = time.perf_counter() - t0
     chis_warm = np.asarray(result.chis)[: int(result.niters)]
     if args.verbose:
@@ -113,7 +113,7 @@ def main():
         t1 = time.perf_counter()
         engine = BlockSolverEngine(structure, kernels, config)
         t2 = time.perf_counter()
-        result = engine.optimize(engine.state, args.iters)
+        result = engine.optimize(None, args.iters)
         nit = int(result.niters)  # forces completion (4-byte read)
         t3 = time.perf_counter()
         trial_s = t3 - t0

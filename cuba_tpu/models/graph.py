@@ -134,7 +134,10 @@ class BundleAdjustment:
             self._stereo_edges,
         )
         self._engine = BlockSolverEngine(structure, self._kernels, self.config)
-        self._state = self._engine.state
+        # None = "pristine initial state still packed in the upload blobs":
+        # the first optimize() unpacks it inside the LM dispatch (engine
+        # fast path); materialized lazily by anything else that needs it
+        self._state = None
         self._stats = []
         self._time_profile = {k: 0.0 for k in PROFILE_ITEMS}
         self._time_profile["0: Initialize Optimizer"] = time.perf_counter() - t0
