@@ -871,6 +871,24 @@ class BlockSolverEngine:
             state = self.state
 
         def fn(st, consts):
+            if self.use_rows:
+                # rows front end: the AoS edge consts are wire dummies;
+                # compute per-edge chi from the transposed packs instead
+                from cuba_tpu.solver import edgerows
+
+                pm, ps, _, _, _ = self._residuals_and_chi(st, consts)
+                out = []
+                for pack, omegaT, count in (
+                    (pm, consts.mxu.omegaT_m, self.structure.mono.count),
+                    (ps, consts.mxu.omegaT_s, self.structure.stereo.count),
+                ):
+                    if pack is None or not count:
+                        out.append(jnp.zeros((0,), self.dtype))
+                        continue
+                    errT = pack[1]  # [mdim, e_pad]
+                    chis = edgerows.chi_per_edge(list(errT), omegaT)
+                    out.append(chis[:count].astype(self.dtype))
+                return jnp.concatenate(out)
             out = []
             if self.structure.mono.count:
                 e2, _ = assembly.edge_residuals(st.qs, st.ts, consts.cams, st.Xws, consts.mono, 2)

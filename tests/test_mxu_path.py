@@ -81,6 +81,15 @@ class TestMXUPath:
         np.testing.assert_allclose(np.asarray(xp_m), np.asarray(xp_x), rtol=2e-2, atol=1e-3 * sp)
         np.testing.assert_allclose(np.asarray(xl_m), np.asarray(xl_x), rtol=2e-2, atol=1e-3 * sl)
 
+    def test_chi_squares_rows_path(self):
+        # regression: the public chiSquared query must work when the rows
+        # front end is active (the AoS edge consts are wire dummies there)
+        e_mxu, e_xla = _engines()
+        a = e_mxu.chi_squares(e_mxu.state)
+        b = e_xla.chi_squares(e_xla.state)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
     def test_lm_trajectory_matches(self):
         e_mxu, e_xla = _engines()
         r_m = e_mxu.optimize(e_mxu.state, 5)
