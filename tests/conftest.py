@@ -12,7 +12,9 @@ import jax
 
 # force CPU: the session env presets JAX_PLATFORMS=axon (the TPU tunnel) and
 # the axon plugin wins over the env var — the config update does not.
-jax.config.update("jax_platforms", "cpu")
+# CUBA_TPU_TEST_ON_TPU=1 keeps the real backend (tests/test_tpu_smoke.py).
+if not os.environ.get("CUBA_TPU_TEST_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
