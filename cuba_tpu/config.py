@@ -27,8 +27,11 @@ class BAConfig:
     Attributes:
       dtype: compute dtype for the numeric path.  ``None`` → fp64 if JAX x64
         is enabled, else fp32 (the USE_FLOAT32 analogue, scalar.h:25-29).
-      chi_dtype: accumulation dtype for chi² reductions.  Defaults to fp64 so
-        per-iteration chi² stays parity-grade even on the fp32 fast path.
+      chi_dtype: accumulation dtype for chi² reductions.  Defaults to fp64
+        when JAX x64 is enabled; without x64 the reductions run in fp32
+        through a two-float compensated tree (ops/dsum.py) whose internal
+        accuracy is fp64-grade, so per-iteration chi² stays parity-grade on
+        the default config either way.
       max_inner_iterations: LM trust-region retries per outer iteration
         (``maxq`` in cuda_bundle_adjustment.cpp:795).
       tau: initial damping factor, lambda0 = tau * max(diag H)
@@ -70,6 +73,8 @@ class BAConfig:
 
         d = jnp.dtype(self.chi_dtype)
         if d == jnp.float64 and not jax.config.jax_enable_x64:
-            # x64 disabled: fp64 would silently downcast; keep it explicit.
+            # x64 disabled: fp64 would silently downcast.  fp32 chi sums go
+            # through the two-float tree (ops/dsum.py) — fp64-grade accuracy
+            # with an fp32 carrier, so this is not a precision downgrade.
             return jnp.dtype(jnp.float32)
         return d

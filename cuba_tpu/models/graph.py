@@ -43,8 +43,12 @@ class BundleAdjustment:
         self.config = config or BAConfig()
         self._poses: Dict[int, PoseVertex] = {}
         self._landmarks: Dict[int, LandmarkVertex] = {}
-        self._mono_edges = []  # insertion-ordered
-        self._stereo_edges = []
+        # dicts as insertion-ordered sets: O(1) add/remove/contains.  The
+        # reference keeps id-maps + per-vertex edge sets for the same
+        # reason (cuda_bundle_adjustment.cpp:681-764); a list here made
+        # remove_edge O(E) — quadratic for sliding-window SLAM maintenance.
+        self._mono_edges: Dict[BaseEdge, None] = {}
+        self._stereo_edges: Dict[BaseEdge, None] = {}
         self._kernels = [
             (int(RobustKernelType.NONE), 0.0),
             (int(RobustKernelType.NONE), 0.0),
@@ -62,18 +66,52 @@ class BundleAdjustment:
         return cls(config)
 
     def add_pose_vertex(self, v: PoseVertex) -> None:
+        """Register a pose vertex.  Unlike the reference's C++ types (which
+        make several invalid states unrepresentable at compile time,
+        cuda_bundle_adjustment_types.h:73-131), a Python graph can carry
+        malformed objects deep into initialize() — validate at the API edge
+        so errors name the actual problem."""
+        if v.camera is None:
+            raise ValueError(f"PoseVertex id={v.id}: camera must be set")
+        if not np.all(np.isfinite(v.q)) or not np.all(np.isfinite(v.t)):
+            raise ValueError(f"PoseVertex id={v.id}: non-finite q/t estimate")
         self._poses[v.id] = v
 
     def add_landmark_vertex(self, v: LandmarkVertex) -> None:
+        if not np.all(np.isfinite(v.Xw)):
+            raise ValueError(f"LandmarkVertex id={v.id}: non-finite Xw estimate")
         self._landmarks[v.id] = v
 
+    def _check_edge(self, e: BaseEdge, dim: int) -> None:
+        if e.dim() != dim:
+            raise TypeError(
+                f"edge measurement dim {e.dim()} does not match the add_*_edge "
+                f"method used (expected {dim})"
+            )
+        if e.vertexP is None or e.vertexL is None:
+            raise ValueError("edge endpoints vertexP/vertexL must both be set")
+        if self._poses.get(e.vertexP.id) is not e.vertexP:
+            raise ValueError(
+                f"edge.vertexP (id={e.vertexP.id}) is not a registered pose "
+                "vertex — add_pose_vertex it first"
+            )
+        if self._landmarks.get(e.vertexL.id) is not e.vertexL:
+            raise ValueError(
+                f"edge.vertexL (id={e.vertexL.id}) is not a registered landmark "
+                "vertex — add_landmark_vertex it first"
+            )
+        if not (e.information >= 0.0):  # also rejects NaN
+            raise ValueError(f"edge.information must be >= 0, got {e.information}")
+
     def add_monocular_edge(self, e: MonoEdge) -> None:
-        self._mono_edges.append(e)
+        self._check_edge(e, 2)
+        self._mono_edges[e] = None
         e.vertexP.edges.add(e)
         e.vertexL.edges.add(e)
 
     def add_stereo_edge(self, e: StereoEdge) -> None:
-        self._stereo_edges.append(e)
+        self._check_edge(e, 3)
+        self._stereo_edges[e] = None
         e.vertexP.edges.add(e)
         e.vertexL.edges.add(e)
 
@@ -100,10 +138,8 @@ class BundleAdjustment:
     def remove_edge(self, e: BaseEdge) -> None:
         e.vertexP.edges.discard(e)
         e.vertexL.edges.discard(e)
-        if e.dim() == 2 and e in self._mono_edges:
-            self._mono_edges.remove(e)
-        if e.dim() == 3 and e in self._stereo_edges:
-            self._stereo_edges.remove(e)
+        self._mono_edges.pop(e, None)
+        self._stereo_edges.pop(e, None)
 
     def nposes(self) -> int:
         return len(self._poses)

@@ -20,7 +20,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from cuba_tpu.ops import jacobians, projection, robust
+from cuba_tpu.ops import dsum, jacobians, projection, robust
 
 
 class EdgeConsts(NamedTuple):
@@ -52,9 +52,16 @@ def edge_residuals(
 
 
 def chi_sum(err: jnp.ndarray, omega: jnp.ndarray, kernel: Tuple[int, float], chi_dtype) -> jnp.ndarray:
-    """sum_e rho(omega |e|^2), accumulated in chi_dtype (cu:771-785)."""
+    """sum_e rho(omega |e|^2), accumulated in chi_dtype (cu:771-785).
+
+    When chi_dtype is fp32 (default config without global x64) the
+    reduction runs through the two-float tree (ops/dsum.py) so the result
+    stays fp64-grade — the reference's fp64 chi semantics without x64."""
     x = omega * jnp.sum(err * err, axis=-1)
-    return jnp.sum(robust.robustify(x, kernel[0], kernel[1]).astype(chi_dtype))
+    rho = robust.robustify(x, kernel[0], kernel[1])
+    if jnp.dtype(chi_dtype) == jnp.float32:
+        return dsum.accurate_sum(rho.astype(jnp.float32))
+    return jnp.sum(rho.astype(chi_dtype))
 
 
 def chi_squares(err: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:

@@ -28,7 +28,7 @@ from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 
-from cuba_tpu.ops import robust
+from cuba_tpu.ops import dsum, robust
 
 
 def rotmat_rows(q4: Sequence[jnp.ndarray]) -> List[List[jnp.ndarray]]:
@@ -74,9 +74,15 @@ def residual_rows(
 
 
 def chi_rows(err, omega, kernel, chi_dtype) -> jnp.ndarray:
-    """sum_e rho(omega |e|^2) over rows (cu:771-785); padding omega is 0."""
+    """sum_e rho(omega |e|^2) over rows (cu:771-785); padding omega is 0.
+
+    fp32 chi_dtype routes through the two-float tree (ops/dsum.py) so the
+    default no-x64 config keeps fp64-grade chi2 accumulation."""
     x = omega * sum(e * e for e in err)
-    return jnp.sum(robust.robustify(x, kernel[0], kernel[1]).astype(chi_dtype))
+    rho = robust.robustify(x, kernel[0], kernel[1])
+    if jnp.dtype(chi_dtype) == jnp.float32:
+        return dsum.accurate_sum(rho.astype(jnp.float32))
+    return jnp.sum(rho.astype(chi_dtype))
 
 
 def chi_per_edge(err, omega) -> jnp.ndarray:

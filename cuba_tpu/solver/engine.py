@@ -327,7 +327,11 @@ class BlockSolverEngine:
         self.mxu_plans = None
         mxu_consts = None
         if want_mxu:
-            plans, mxu_consts = mxu.plan_mxu(s, self.pad_blocks)
+            # PCG never materializes the Schur complement: skip the
+            # multiplication-triplet + dense-formation planning entirely
+            plans, mxu_consts = mxu.plan_mxu(
+                s, self.pad_blocks, need_dense=config.solver != "pcg"
+            )
             if plans.ok:
                 self.mxu_plans = plans
             else:
@@ -466,12 +470,17 @@ class BlockSolverEngine:
         tp = lambda t: None if t is None else (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
         aw = lambda t: None if t is None else (t.chunk, t.win, t.num_chunks, t.out_pad, t.ok)
         sc = p.schur
+        sc_sig = (
+            None if sc is None
+            else (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks,
+                  sc.n_slot_pad, sc.n_hsc_pad)
+        )
         return (
             p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
             tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
             tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
             p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
-            (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.n_slot_pad, sc.n_hsc_pad),
+            sc_sig,
             p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
             aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
             p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack,
@@ -560,6 +569,20 @@ class BlockSolverEngine:
                 HppT, HllT, HplT, lam, self.num_p, self.num_l, plans, mc,
                 interpret=interp,
             ))
+            if self.config.solver == "pcg":
+                # matrix-free block-Jacobi PCG on the transposed tables —
+                # the large-P path (dense factorization is O(PB^2) memory)
+                xT, ok = mxu.pcg_solve_rows(
+                    HppT, HplT, W, lam, bscT, self.num_p, self.num_l,
+                    plans, mc, self.config.pcg_max_iterations,
+                    self.config.pcg_tol, interpret=interp,
+                )
+                xp = xT.T
+                xl = mxu.back_substitute_mxu(
+                    iv9, HllT, HplT, g12, xp, self.num_l, plans, mc,
+                    interpret=interp,
+                )
+                return xp, xl, ok
             Dm = OB(mxu.schur_dense_mxu(
                 HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
                 interpret=interp,

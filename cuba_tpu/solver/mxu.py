@@ -183,12 +183,19 @@ def rows_float_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int) -> dict:
     return dict(measT_m=measT_m, measT_s=measT_s, omegaT_m=omegaT_m, omegaT_s=omegaT_s)
 
 
-def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MXUConsts]]:
+def plan_mxu(
+    s: BAStructure, pad_blocks: int = 0, need_dense: bool = True
+) -> Tuple[MXUPlans, Optional[MXUConsts]]:
     """Build all window plans + padded device constants.  Host, once.
 
     Paddings and plans are interdependent (a plan's window coverage can
     exceed the round-up padding), so iterate to a fixpoint (2 passes in
     practice).
+
+    need_dense=False (the PCG reduced solver, BAConfig.solver="pcg") skips
+    the Schur multiplication-triplet planning and the dense-formation plans
+    entirely — PCG's matvec is matrix-free (schur_matvec_rows) and never
+    touches them.
     """
     num_p, num_l, n_hpl = s.num_p, s.num_l, s.n_hpl
     if num_p == 0 or num_l == 0 or n_hpl == 0:
@@ -206,10 +213,14 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     Em, Es = s.mono.count, s.stereo.count
     # pass int32 straight through: the C++ planner consumes int32 and the
     # int64 round trip cost ~80ms of pure conversion at kitti00 scale
-    sc = segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc)
+    sc = (
+        segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc)
+        if need_dense
+        else None
+    )
     e_pad_m = max(_round_up(Em, 1024), 1024)
     e_pad_s = max(_round_up(Es, 1024), 1024)
-    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad)
+    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc else 1024)
     p_src_pad = max(_round_up(num_p + 1, 1024), 1024)
 
     for _ in range(4):
@@ -247,7 +258,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     v2 = False
     maxw = maxwc = 0
     i32 = np.int32
-    if sc.ok:
+    if sc is not None and sc.ok:
         gid = sc.gid.astype(np.int64)
         r = np.where(gid >= 0, s.hsc_row[np.maximum(gid, 0)], 0).astype(np.int64)
         c = np.where(gid >= 0, s.hsc_col[np.maximum(gid, 0)], 0).astype(np.int64)
@@ -358,12 +369,14 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     paw_b = segmm.plan_accum_windows(hrow_np, num_p)
 
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
-    ok = (
-        all(p.ok for p in all_plans)
-        and sc.ok
-        and (v2 or (up is not None and up.ok and lo.ok))
-        and pad_blocks > 0
-    )
+    ok = all(p.ok for p in all_plans)
+    if need_dense:
+        ok = (
+            ok
+            and sc.ok
+            and (v2 or (up is not None and up.ok and lo.ok))
+            and pad_blocks > 0
+        )
     # gather id arrays must exactly match their output geometry
     ok = ok and ivs.num_tiles * ivs.tile == hpl_pad == xpg.num_tiles * xpg.tile
 
@@ -417,11 +430,15 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         # fallback-path constants become dummies (not uploaded at size)
         gkey_up = gkey_lo = dummy
         bb_up = bb_lo = occ_c = dummy
-    else:
+    elif up is not None:
         v2_consts = {}
         bb_up = np.asarray(up.base_block, i32)
         bb_lo = np.asarray(lo.base_block, i32)
         occ_c = occ
+    else:  # PCG: no dense formation at all
+        v2_consts = {}
+        gkey_up = gkey_lo = dummy
+        bb_up = bb_lo = occ_c = dummy
 
     def narrow(a):
         """int16 when values fit — halves the wire cost of the big index
@@ -435,9 +452,14 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
     # int32 when they fit 15 bits, and skip the gated acc tables when the
     # rows front end uploads the ungated gids anyway (engine.derive_consts
     # expands both on device).
-    li32 = np.asarray(sc.li, np.int32)
-    lj32 = np.asarray(sc.lj, np.int32)
-    lk32 = np.asarray(sc.lk, np.int32)
+    if sc is None:  # PCG: no Schur triplet constants at all
+        li32 = lj32 = lk32 = np.zeros(0, np.int32)
+        sc_sb_c = dummy
+    else:
+        li32 = np.asarray(sc.li, np.int32)
+        lj32 = np.asarray(sc.lj, np.int32)
+        lk32 = np.asarray(sc.lk, np.int32)
+        sc_sb_c = np.asarray(sc.sb, i32)
     # 3-way pack li(11b)|lj(11b)|lk(8b) when compact kwin keeps lk < 254
     # (typical: slot_block 512 -> locals < 1024, v2 kwin 128); fall back to
     # the 2-way li|lj pack with lk riding int16 otherwise
@@ -450,7 +472,7 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         li32.size and li32.max() < 32767 and lj32.max() < 32767
         and li32.min() >= -1 and lj32.min() >= -1
     )
-    sc_lk_c = narrow(sc.lk)
+    sc_lk_c = narrow(lk32) if lk32.size else dummy
     if pack3:
         sc_lij = ((li32 + 1) << 19) | ((lj32 + 1) << 8) | (lk32 + 1)
         sc_li = sc_lj = sc_lk_c = dummy
@@ -461,7 +483,8 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         plans.sc_pack = "p2"
     else:
         sc_lij = dummy
-        sc_li, sc_lj = None, None  # filled below via narrow()
+        sc_li = narrow(li32) if li32.size else dummy
+        sc_lj = narrow(lj32) if lj32.size else dummy
 
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
@@ -481,9 +504,9 @@ def plan_mxu(s: BAStructure, pad_blocks: int = 0) -> Tuple[MXUPlans, Optional[MX
         bb_ivs=np.asarray(ivs.base_block, i32),
         bb_xpg=np.asarray(xpg.base_block, i32),
         bb_cl=np.asarray(cl.base_block, i32),
-        sc_sb=np.asarray(sc.sb, i32),
-        sc_li=sc_li if (pack3 or pack_sc) else narrow(sc.li),
-        sc_lj=sc_lj if (pack3 or pack_sc) else narrow(sc.lj),
+        sc_sb=sc_sb_c,
+        sc_li=sc_li,
+        sc_lj=sc_lj,
         sc_lk=sc_lk_c,
         sc_lij=sc_lij,
         wb_paw_m=np.asarray(paw_m.wb, i32) if paw_m.ok else dummy,
@@ -853,6 +876,117 @@ def back_substitute_mxu(iv9, HllT, HplT, g12, xp, num_l,
         for m in range(3)
     ])
     return xlT.T
+
+
+def _hpp_matvec_rows(HppT, lam, xT):
+    """(Hpp + lam*I) x over transposed rows: xT [6, P] -> [6, P]."""
+    return jnp.stack([
+        sum(HppT[6 * i + j] * xT[j] for j in range(6)) + lam * xT[i]
+        for i in range(6)
+    ])
+
+
+def schur_matvec_rows(HppT, HplT, W, lam, xT, num_p, num_l,
+                      plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """Matrix-free Schur matvec Hsc x = (Hpp + lam I) x - W (Hpl^T x).
+
+    The Schur complement is never materialized (no multiplication triplets,
+    no dense matrix): one slot gather of x, a per-landmark segment reduce,
+    a gather back to slots and a pose-side accumulate — O(n_hpl) work via
+    the same one-hot MXU kernels the assembly uses.  This is what makes
+    ``BAConfig(solver="pcg")`` usable on the TPU fast path for pose counts
+    where the dense factorization's PB^2 memory loses (the reference covers
+    that regime with sparse Cholesky, cuda_linear_solver.cpp:147-232)."""
+    xg_src = jnp.zeros((6, plans.xpg.n_pad), xT.dtype).at[:, :num_p].set(xT)
+    xg = segmm.tiled_gather(xg_src, mc.hpl_row, plans.xpg, mc.bb_xpg,
+                            interpret=interpret)
+    a3 = jnp.stack([
+        sum(HplT[3 * i + k] * xg[i] for i in range(6)) for k in range(3)
+    ])  # Hpl^T x per slot [3, hpl_pad]
+    aL = segmm.tiled_segsum(a3, mc.hpl_col, num_l, plans.cl, mc.bb_cl,
+                            interpret=interpret)
+    src_pad = max(plans.ivs.n_pad, _round_up(aL.shape[1], plans.ivs.block))
+    ag = segmm.tiled_gather(
+        jnp.pad(aL, ((0, 0), (0, src_pad - aL.shape[1]))),
+        mc.hpl_col, plans.ivs, mc.bb_ivs, interpret=interpret,
+    )
+    y6 = jnp.stack([
+        sum(W[3 * i + k] * ag[k] for k in range(3)) for i in range(6)
+    ])  # [6, hpl_pad]
+    ysub = _pose_accum(y6, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
+    return _hpp_matvec_rows(HppT, lam, xT) - ysub
+
+
+def schur_block_diag_inv_rows(HppT, HplT, W, lam, num_p,
+                              plans: MXUPlans, mc: MXUConsts, interpret=False):
+    """Inverted exact 6x6 block diagonal of the damped Schur complement,
+    as transposed rows [36, P] — the block-Jacobi preconditioner."""
+    d36 = jnp.stack([
+        sum(W[3 * i + k] * HplT[3 * j + k] for k in range(3))
+        for i in range(6) for j in range(6)
+    ])  # W Hpl^T diagonal contribution per slot [36, hpl_pad]
+    corr = _pose_accum(d36, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
+    M = (HppT[:36] - corr).T.reshape(num_p, 6, 6)
+    M = M + lam * jnp.eye(6, dtype=M.dtype)
+    return jnp.linalg.inv(M).reshape(num_p, 36).T
+
+
+def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
+                   plans: MXUPlans, mc: MXUConsts,
+                   max_iterations: int, tol: float, interpret=False):
+    """Block-Jacobi preconditioned CG on the matrix-free Schur operator,
+    all in transposed rows layout.  Returns (xT [6, P], ok).
+
+    Same control flow as solver/pcg.py::pcg_solve (the XLA-path twin);
+    non-convergence reports ok=False and the LM loop rejects the step —
+    the reference's zero-pivot semantics (cuda_linear_solver.cpp:175-189).
+    """
+    Minv36 = schur_block_diag_inv_rows(
+        HppT, HplT, W, lam, num_p, plans, mc, interpret=interpret
+    )
+
+    def apply_M(rT):
+        return jnp.stack([
+            sum(Minv36[6 * i + j] * rT[j] for j in range(6)) for i in range(6)
+        ])
+
+    def matvec(xT):
+        return schur_matvec_rows(
+            HppT, HplT, W, lam, xT, num_p, num_l, plans, mc, interpret=interpret
+        )
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    b_norm2 = dot(bT, bT)
+    tol2 = (tol * tol) * b_norm2
+    x0 = jnp.zeros_like(bT)
+    z0 = apply_M(bT)
+    rz0 = dot(bT, z0)
+
+    def cond(state):
+        k, _, r, _, _ = state
+        return (k < max_iterations) & (dot(r, r) > tol2)
+
+    def body(state):
+        k, x, r, p, rz = state
+        Ap = matvec(p)
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, jnp.ones_like(pAp), pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, jnp.ones_like(rz), rz)
+        p = z + beta * p
+        return (k + 1, x, r, p, rz_new)
+
+    k, x, r, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, bT, z0, rz0)
+    )
+    ok = (dot(r, r) <= tol2) & jnp.all(jnp.isfinite(x))
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    return x, ok
 
 
 def max_diagonal_T(HppT, HllT):

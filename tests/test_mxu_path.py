@@ -100,3 +100,83 @@ class TestMXUPath:
         chis_x = np.asarray(r_x.chis)[:n]
         np.testing.assert_allclose(chis_m, chis_x, rtol=5e-3)
         assert chis_m[-1] <= chis_m[0]
+
+
+class TestMXUPCG:
+    """solver="pcg" on the MXU fast path (VERDICT round-1 item 2: the config
+    option was silently ignored in the use_mxu branch).  The matrix-free
+    matvec (mxu.schur_matvec_rows) must agree with the XLA SchurOperator and
+    the full LM trajectory must match the dense-Cholesky path."""
+
+    def _engine(self, solver, **kw):
+        prob = synthetic.generate(num_poses=10, num_landmarks=90, seed=5)
+        np_, nl = 10, 90
+        cams = np.tile(prob.cam, (np_, 1))
+        fp = np.zeros(np_, bool)
+        fp[prob.fixed_poses] = True
+        fl = np.zeros(nl, bool)
+        s = build_structure_from_arrays(
+            prob.qs, prob.ts, cams, prob.Xws, fp, fl,
+            prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+            prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+        )
+        k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+        return BlockSolverEngine(
+            s, k, BAConfig(dtype=jnp.float32, mxu="interpret", solver=solver, **kw)
+        )
+
+    def test_pcg_plans_skip_dense(self):
+        e = self._engine("pcg")
+        assert e.use_mxu
+        assert e.mxu_plans.schur is None  # no triplet planning for PCG
+
+    def test_matvec_matches_xla_operator(self):
+        from cuba_tpu.solver import mxu as mxu_mod
+        from cuba_tpu.solver import pcg as pcg_mod
+        from cuba_tpu.solver import assembly, schur
+
+        e = self._engine("pcg")
+        st, cm = e.state, e.consts
+        rr = e._residuals_and_chi(st, cm)
+        HppT, HllT, HplT = e._build(st, cm, *rr[:4])
+        lam = jnp.float32(0.5)
+        iv9, W, bscT, g12 = mxu_mod.prepare_factors_mxu(
+            HppT, HllT, HplT, lam, e.num_p, e.num_l, e.mxu_plans, cm.mxu,
+            interpret=True,
+        )
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(e.num_p, 6)), jnp.float32)
+        y_rows = mxu_mod.schur_matvec_rows(
+            HppT, HplT, W, lam, x.T, e.num_p, e.num_l, e.mxu_plans, cm.mxu,
+            interpret=True,
+        ).T
+
+        # XLA twin on the same system values
+        nh = e.structure.n_hpl
+        Hpp = HppT[:36].T.reshape(e.num_p, 6, 6)
+        Hll = HllT[:9].T.reshape(e.num_l, 3, 3)
+        Hpl = HplT[:, :nh].T.reshape(nh, 6, 3)
+        Hpp_d = assembly.damp(Hpp, lam)
+        Hll_d = assembly.damp(Hll, lam)
+        hpl_row = jnp.asarray(e.structure.hpl_row)
+        hpl_col = jnp.asarray(e.structure.hpl_col)
+        from cuba_tpu.ops import smallmat
+        invHll = smallmat.sym3x3_inv(Hll_d)
+        Wx = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col])
+        op = pcg_mod.SchurOperator(Hpp_d, Hpl, Wx, hpl_row, hpl_col, e.num_p, e.num_l)
+        y_ref = op.matvec(x)
+        scale = float(jnp.abs(y_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(y_rows), np.asarray(y_ref), rtol=2e-2, atol=2e-3 * scale
+        )
+
+    def test_pcg_lm_trajectory_matches_dense(self):
+        e_pcg = self._engine("pcg", pcg_tol=1e-7)
+        e_dense = self._engine("dense_cholesky")
+        r_p = e_pcg.optimize(e_pcg.state, 5)
+        r_d = e_dense.optimize(e_dense.state, 5)
+        n = min(int(r_p.niters), int(r_d.niters))
+        assert n >= 3
+        np.testing.assert_allclose(
+            np.asarray(r_p.chis)[:n], np.asarray(r_d.chis)[:n], rtol=5e-3
+        )
+        assert float(r_p.chis[n - 1]) <= float(r_p.chis[0])
