@@ -85,10 +85,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def _bind_fsp(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for name in ("ba_fsp_kwin", "ba_fsp_ok"):
+        getattr(lib, name).restype = ctypes.c_int32
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in ("ba_fsp_chunks", "ba_fsp_slot_pad", "ba_fsp_hsc_pad"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ba_fsp_copy.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p]
+
+
 def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int):
     """Run the C++ symbolic pass.  Returns the same tuple as the NumPy path:
     (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
-    lk_K, lk_pose, edge2lk) — or None when the native library is unavailable.
+    lk_K, lk_pose, edge2lk, schur_plan) — or None when the native library is
+    unavailable.  ``schur_plan`` is the fused Schur chunk plan
+    (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) computed in
+    the same C++ pass (chunk=1024, slot_block=512, max_kwin=1024), or None
+    on a stale library without the fused getters.
     """
     lib = get_lib()
     if lib is None:
@@ -120,6 +135,24 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         lk_pose = np.empty(num_l * K, np.int32)
         edge2lk = np.empty(e_pi.size, np.int32)
         lib.ba_copy_lk(h, ptr(lk_pose), ptr(edge2lk))
+        schur_plan = None
+        if hasattr(lib, "ba_fsp_kwin"):
+            if not getattr(lib, "_fsp_bound", False):
+                _bind_fsp(lib)
+                lib._fsp_bound = True
+            kwin = lib.ba_fsp_kwin(h)
+            ok = bool(lib.ba_fsp_ok(h))
+            C = lib.ba_fsp_chunks(h)
+            n_slot_pad = lib.ba_fsp_slot_pad(h)
+            n_hsc_pad = lib.ba_fsp_hsc_pad(h)
+            sb = np.empty(C, np.int32)
+            li = np.empty(C * 1024, np.int32)
+            lj = np.empty(C * 1024, np.int32)
+            lk = np.empty(C * 1024, np.int32)
+            gid = np.empty(C * kwin, np.int32)
+            lib.ba_fsp_copy(h, ptr(sb), ptr(li), ptr(lj), ptr(lk), ptr(gid))
+            schur_plan = (kwin, ok, int(C), int(n_slot_pad), int(n_hsc_pad),
+                          sb, li, lj, lk, gid)
     finally:
         lib.ba_symbolic_free(h)
     return (
@@ -134,7 +167,40 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         int(K),
         lk_pose,
         edge2lk,
+        schur_plan,
     )
+
+
+def _bind_tile_minmax(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ba_tile_minmax.restype = None
+    lib.ba_tile_minmax.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int64, i64p, i64p,
+    ]
+
+
+def tile_minmax(ids: np.ndarray, bound: int, tile: int, mode: int, num_tiles: int):
+    """C++ per-tile min/max scan (see symbolic.cpp::ba_tile_minmax).
+    Returns (mn, mx) int64 arrays or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ba_tile_minmax"):
+        return None
+    if not getattr(lib, "_tmm_bound", False):
+        _bind_tile_minmax(lib)
+        lib._tmm_bound = True
+    ids = np.ascontiguousarray(ids, np.int32)
+    mn = np.empty(num_tiles, np.int64)
+    mx = np.empty(num_tiles, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ba_tile_minmax(
+        ids.ctypes.data_as(i32p), ids.size, int(bound), int(tile),
+        int(mode), int(num_tiles),
+        mn.ctypes.data_as(i64p), mx.ctypes.data_as(i64p),
+    )
+    return mn, mx
 
 
 def _bind_schur(lib: ctypes.CDLL) -> None:

@@ -34,7 +34,8 @@ struct SymbolicResult {
   // Hsc block pattern: unique upper-tri (r <= c) pose pairs, row-major.
   std::vector<int32_t> hsc_row;
   std::vector<int32_t> hsc_col;
-  // Schur multiplication triplets sorted by output block k.
+  // Schur multiplication triplets in landmark-major (generation) order:
+  // mul_i non-decreasing, mul_i <= mul_j, same landmark column per pair.
   std::vector<int32_t> mul_i;
   std::vector<int32_t> mul_j;
   std::vector<int32_t> mul_k;
@@ -42,11 +43,82 @@ struct SymbolicResult {
   int32_t lk_K = 0;
   std::vector<int32_t> lk_pose;  // [num_l * K], num_p where padded
   std::vector<int32_t> edge2lk;  // [E], slot into [num_l*K]; num_l*K if none
+  // Fused Schur chunk plan (ops/segmm.py::SchurPlan semantics) computed in
+  // the same pass — the triplets are generated landmark-major so the plan
+  // needs no re-sort.  chunk=1024 / slot_block=512 / max_kwin=1024 (the
+  // values plan_mxu always uses).
+  int32_t sp_kwin = 0;
+  int32_t sp_ok = 1;
+  int64_t sp_chunks = 0;
+  int64_t sp_slot_pad = 0;
+  int64_t sp_hsc_pad = 0;
+  std::vector<int32_t> sp_sb;   // [C]
+  std::vector<int32_t> sp_li;   // [C*chunk]
+  std::vector<int32_t> sp_lj;   // [C*chunk]
+  std::vector<int32_t> sp_lk;   // [C*chunk]
+  std::vector<int32_t> sp_gid;  // [C*kwin]
+};
+
+// Open-addressing hash set assigning first-seen provisional ids to int64
+// keys (power-of-two capacity, linear probing).  Sized for the ~n_hsc
+// unique Hsc block keys — stays cache-resident, so the 1.3M lookups at
+// kitti00 scale beat the former radix sort of the whole triplet list.
+struct KeyIdMap {
+  std::vector<int64_t> keys;  // 0 = empty (stored key+1)
+  std::vector<int32_t> ids;
+  size_t mask = 0, count = 0;
+
+  explicit KeyIdMap(size_t cap_hint) {
+    size_t cap = 1024;
+    while (cap < cap_hint * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    ids.assign(cap, -1);
+    mask = cap - 1;
+  }
+  void grow() {
+    KeyIdMap bigger(keys.size());  // doubles (cap*2 via hint)
+    for (size_t s = 0; s < keys.size(); ++s)
+      if (keys[s]) bigger.insert_raw(keys[s], ids[s]);
+    keys.swap(bigger.keys);
+    ids.swap(bigger.ids);
+    mask = bigger.mask;
+  }
+  void insert_raw(int64_t k1, int32_t id) {
+    size_t s = (static_cast<uint64_t>(k1) * 0x9E3779B97F4A7C15ull) >> 1;
+    for (s &= mask;; s = (s + 1) & mask) {
+      if (!keys[s]) {
+        keys[s] = k1;
+        ids[s] = id;
+        return;
+      }
+    }
+  }
+  // returns the id of key, inserting a fresh one (next_id) if absent
+  int32_t get_or_insert(int64_t key, int32_t next_id, bool* inserted) {
+    if (count * 2 >= keys.size()) grow();
+    const int64_t k1 = key + 1;
+    size_t s = (static_cast<uint64_t>(k1) * 0x9E3779B97F4A7C15ull) >> 1;
+    for (s &= mask;; s = (s + 1) & mask) {
+      if (keys[s] == k1) {
+        *inserted = false;
+        return ids[s];
+      }
+      if (!keys[s]) {
+        keys[s] = k1;
+        ids[s] = next_id;
+        ++count;
+        *inserted = true;
+        return next_id;
+      }
+    }
+  }
 };
 
 // Stable LSD radix sort of (key, payload) by key, 16-bit digits, skipping
 // passes above the highest set bit.  ~6x faster than std::stable_sort on
 // the multi-million-element triplet/edge sorts here (single-core host).
+int64_t round_up_i64(int64_t x, int64_t m) { return (x + m - 1) / m * m; }
+
 void radix_sort_pairs(std::vector<int64_t>& keys, std::vector<int64_t>& payload,
                       int64_t max_key) {
   const size_t n = keys.size();
@@ -160,44 +232,162 @@ void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
     }
   }
 
-  // --- Hsc block pattern + mul triplets ----------------------------------
-  // per landmark column: all slot pairs (i, j), i <= j (row_i <= row_j since
-  // rows are sorted within a column); output block = (row_i, row_j).
+  // --- Hsc block pattern + mul triplets (landmark-major order) -----------
+  // per landmark column: all slot pairs (a, b), a <= b (row_a <= row_b since
+  // rows are sorted within a column); output block = (row_a, row_b).  Block
+  // ids are assigned via a small hash map in first-seen order, then
+  // renumbered to row-major rank with one sort of the ~n_hsc unique keys —
+  // the triplet list itself is never sorted.
   int64_t n_pairs = 0;
   for (int32_t l = 0; l < num_l; ++l) {
     int64_t len = col_start[l + 1] - col_start[l];
     n_pairs += len * (len + 1) / 2;
   }
-  std::vector<int64_t> trip_key;
-  std::vector<int64_t> trip_ab;  // slot pair packed a * n_hpl + b
-  trip_key.reserve(n_pairs);
-  trip_ab.reserve(n_pairs);
-  for (int32_t l = 0; l < num_l; ++l) {
-    for (int64_t a = col_start[l]; a < col_start[l + 1]; ++a) {
-      const int64_t ra = res->hpl_row[a];
-      for (int64_t b = a; b < col_start[l + 1]; ++b) {
-        trip_key.push_back(ra * num_p + res->hpl_row[b]);
-        trip_ab.push_back(a * n_hpl + b);
+  res->mul_i.resize(n_pairs);
+  res->mul_j.resize(n_pairs);
+  res->mul_k.resize(n_pairs);
+  std::vector<int64_t> uniq_keys;  // first-seen order
+  uniq_keys.reserve(16384);
+  KeyIdMap map(16384);
+  {
+    int64_t t = 0;
+    for (int32_t l = 0; l < num_l; ++l) {
+      for (int64_t a = col_start[l]; a < col_start[l + 1]; ++a) {
+        const int64_t ra = res->hpl_row[a];
+        for (int64_t b = a; b < col_start[l + 1]; ++b, ++t) {
+          const int64_t key = ra * num_p + res->hpl_row[b];
+          bool inserted;
+          const int32_t id =
+              map.get_or_insert(key, static_cast<int32_t>(uniq_keys.size()), &inserted);
+          if (inserted) uniq_keys.push_back(key);
+          res->mul_i[t] = static_cast<int32_t>(a);
+          res->mul_j[t] = static_cast<int32_t>(b);
+          res->mul_k[t] = id;  // provisional (first-seen) id
+        }
       }
     }
   }
-  radix_sort_pairs(trip_key, trip_ab,
-                   static_cast<int64_t>(num_p) * num_p);
-  res->mul_i.resize(trip_key.size());
-  res->mul_j.resize(trip_key.size());
-  res->mul_k.resize(trip_key.size());
-  int64_t prev_key = -1;
-  int32_t k = -1;
-  for (size_t t = 0; t < trip_key.size(); ++t) {
-    if (trip_key[t] != prev_key) {
-      prev_key = trip_key[t];
-      ++k;
-      res->hsc_row.push_back(static_cast<int32_t>(prev_key / num_p));
-      res->hsc_col.push_back(static_cast<int32_t>(prev_key % num_p));
+  // renumber: provisional id -> row-major rank
+  const int64_t n_hsc = static_cast<int64_t>(uniq_keys.size());
+  std::vector<int64_t> sorted_keys(uniq_keys);
+  std::sort(sorted_keys.begin(), sorted_keys.end());
+  res->hsc_row.resize(n_hsc);
+  res->hsc_col.resize(n_hsc);
+  for (int64_t r = 0; r < n_hsc; ++r) {
+    res->hsc_row[r] = static_cast<int32_t>(sorted_keys[r] / num_p);
+    res->hsc_col[r] = static_cast<int32_t>(sorted_keys[r] % num_p);
+  }
+  std::vector<int32_t> remap(n_hsc);
+  {
+    // provisional -> final: binary search each first-seen key (n_hsc log n_hsc)
+    for (int64_t p = 0; p < n_hsc; ++p) {
+      const auto it = std::lower_bound(sorted_keys.begin(), sorted_keys.end(), uniq_keys[p]);
+      remap[p] = static_cast<int32_t>(it - sorted_keys.begin());
     }
-    res->mul_i[t] = static_cast<int32_t>(trip_ab[t] / n_hpl);
-    res->mul_j[t] = static_cast<int32_t>(trip_ab[t] % n_hpl);
-    res->mul_k[t] = k;
+    for (int64_t t = 0; t < n_pairs; ++t) res->mul_k[t] = remap[res->mul_k[t]];
+  }
+
+  // --- fused Schur chunk plan (triplets already landmark-major) ----------
+  {
+    const int64_t chunk = 1024, slot_block = 512, max_kwin = 1024;
+    const int64_t n_mul = n_pairs;
+    const int64_t C = std::max<int64_t>((n_mul + chunk - 1) / chunk, 1);
+    res->sp_chunks = C;
+    res->sp_sb.resize(C);
+    res->sp_li.assign(C * chunk, -1);
+    res->sp_lj.assign(C * chunk, -1);
+    res->sp_lk.assign(C * chunk, -1);
+    // pass 1: per-chunk slot windows + distinct-k counts (k ranges)
+    std::vector<int64_t> kmin_c(C, 0), kcnt_c(C, 0);
+    int64_t max_sb = 0, max_distinct = 1;
+    std::vector<int32_t> mark;  // dense k-range scratch, reset per chunk
+    std::vector<int32_t> kbuf;  // sort fallback scratch
+    for (int64_t c = 0; c < C; ++c) {
+      const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
+      int64_t smin = 0, smax = 0, kmin = 0, kmax = -1;
+      if (b < e) {
+        smin = res->mul_i[b];   // mul_i <= mul_j and mul_i non-decreasing
+        smax = 0;
+        kmin = std::numeric_limits<int64_t>::max();
+        for (int64_t t = b; t < e; ++t) {
+          smax = std::max<int64_t>(smax, res->mul_j[t]);
+          kmin = std::min<int64_t>(kmin, res->mul_k[t]);
+          kmax = std::max<int64_t>(kmax, res->mul_k[t]);
+        }
+      }
+      const int64_t sbc = smin / slot_block;
+      res->sp_sb[c] = static_cast<int32_t>(sbc);
+      max_sb = std::max(max_sb, sbc);
+      if (smax - sbc * slot_block >= 2 * slot_block) res->sp_ok = 0;
+      int64_t distinct = 0;
+      if (kmax >= kmin) {
+        const int64_t range = kmax - kmin + 1;
+        if (range <= 65536) {
+          if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
+          std::fill(mark.begin(), mark.begin() + range, 0);
+          for (int64_t t = b; t < e; ++t) mark[res->mul_k[t] - kmin] = 1;
+          for (int64_t r = 0; r < range; ++r) distinct += mark[r];
+        } else {
+          kbuf.assign(res->mul_k.begin() + b, res->mul_k.begin() + e);
+          std::sort(kbuf.begin(), kbuf.end());
+          distinct = std::unique(kbuf.begin(), kbuf.end()) - kbuf.begin();
+        }
+      }
+      kmin_c[c] = kmin;
+      kcnt_c[c] = distinct;
+      max_distinct = std::max(max_distinct, distinct);
+    }
+    int64_t kwin = std::min<int64_t>(
+        max_kwin, std::max<int64_t>(round_up_i64(max_distinct, 128), 128));
+    if (max_distinct > kwin) res->sp_ok = 0;
+    res->sp_kwin = static_cast<int32_t>(kwin);
+    res->sp_gid.assign(C * kwin, -1);
+    // pass 2: gid tables (ascending distinct ks) + local ids
+    for (int64_t c = 0; c < C; ++c) {
+      const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
+      if (b >= e) continue;
+      const int64_t base = static_cast<int64_t>(res->sp_sb[c]) * slot_block;
+      const int64_t kmin = kmin_c[c];
+      int64_t kmax = 0;
+      for (int64_t t = b; t < e; ++t)
+        kmax = std::max<int64_t>(kmax, res->mul_k[t]);
+      const int64_t range = kmax - kmin + 1;
+      if (range <= 65536 && res->sp_ok) {
+        if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
+        std::fill(mark.begin(), mark.begin() + range, -1);
+        for (int64_t t = b; t < e; ++t) mark[res->mul_k[t] - kmin] = 0;
+        int32_t rank = 0;
+        for (int64_t r = 0; r < range; ++r) {
+          if (mark[r] == 0) {
+            mark[r] = rank;
+            if (rank < kwin)
+              res->sp_gid[c * kwin + rank] = static_cast<int32_t>(kmin + r);
+            ++rank;
+          }
+        }
+        for (int64_t t = b; t < e; ++t) {
+          res->sp_li[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_i[t] - base);
+          res->sp_lj[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_j[t] - base);
+          res->sp_lk[c * chunk + (t - b)] = mark[res->mul_k[t] - kmin];
+        }
+      } else {
+        kbuf.assign(res->mul_k.begin() + b, res->mul_k.begin() + e);
+        std::sort(kbuf.begin(), kbuf.end());
+        kbuf.erase(std::unique(kbuf.begin(), kbuf.end()), kbuf.end());
+        for (size_t r = 0; r < kbuf.size() && static_cast<int64_t>(r) < kwin; ++r)
+          res->sp_gid[c * kwin + r] = kbuf[r];
+        for (int64_t t = b; t < e; ++t) {
+          const auto it = std::lower_bound(kbuf.begin(), kbuf.end(), res->mul_k[t]);
+          res->sp_li[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_i[t] - base);
+          res->sp_lj[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_j[t] - base);
+          res->sp_lk[c * chunk + (t - b)] = static_cast<int32_t>(it - kbuf.begin());
+        }
+      }
+    }
+    res->sp_slot_pad = std::max(
+        (max_sb + 2) * slot_block,
+        round_up_i64(std::max<int64_t>(n_hpl, 1), slot_block));
+    res->sp_hsc_pad = round_up_i64(std::max<int64_t>(n_hsc, 1), 128);
   }
 
   return res;
@@ -241,6 +431,26 @@ void ba_copy_lk(const void* h, int32_t* lk_pose, int32_t* edge2lk) {
   copy32(r->edge2lk, edge2lk);
 }
 
+// fused Schur-plan getters (chunk=1024, slot_block=512, max_kwin=1024)
+int32_t ba_fsp_kwin(const void* h) { return static_cast<const SymbolicResult*>(h)->sp_kwin; }
+int32_t ba_fsp_ok(const void* h) { return static_cast<const SymbolicResult*>(h)->sp_ok; }
+int64_t ba_fsp_chunks(const void* h) { return static_cast<const SymbolicResult*>(h)->sp_chunks; }
+int64_t ba_fsp_slot_pad(const void* h) {
+  return static_cast<const SymbolicResult*>(h)->sp_slot_pad;
+}
+int64_t ba_fsp_hsc_pad(const void* h) {
+  return static_cast<const SymbolicResult*>(h)->sp_hsc_pad;
+}
+void ba_fsp_copy(const void* h, int32_t* sb, int32_t* li, int32_t* lj,
+                 int32_t* lk, int32_t* gid) {
+  const auto* r = static_cast<const SymbolicResult*>(h);
+  copy32(r->sp_sb, sb);
+  copy32(r->sp_li, li);
+  copy32(r->sp_lj, lj);
+  copy32(r->sp_lk, lk);
+  copy32(r->sp_gid, gid);
+}
+
 void ba_symbolic_free(void* h) { delete static_cast<SymbolicResult*>(h); }
 
 }  // extern "C"
@@ -267,8 +477,6 @@ struct SchurPlanResult {
   std::vector<int32_t> lk;   // [C*chunk]
   std::vector<int32_t> gid;  // [C*kwin]
 };
-
-int64_t round_up_i64(int64_t x, int64_t m) { return (x + m - 1) / m * m; }
 
 }  // namespace
 
@@ -397,6 +605,45 @@ void ba_sp_copy(const void* h, int32_t* sb, int32_t* li, int32_t* lj,
   copy32(r->gid, gid);
 }
 void ba_sp_free(void* h) { delete static_cast<SchurPlanResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// Tile min/max scans for the window planners (ops/segmm.py::plan_tiles /
+// plan_gather_tiles / plan_accum_windows).  These are single passes over
+// multi-million-element id tables that cost ~5-10ms each as NumPy
+// ufunc.at / reshape-reduce calls; here they run at memory bandwidth.
+//   mode 0 (expand): per OUTPUT tile t = ids[x]/tile over valid ids,
+//       mn[t] = min x, mx[t] = max x  (x = input position)
+//   mode 1 (gather): per INPUT chunk c = x/tile,
+//       mn[c] = min valid ids[x], mx[c] = max valid ids[x]
+// Valid means 0 <= ids[x] < bound.  mn init = INT64_MAX, mx init = -1;
+// the (tiny) finishing arithmetic stays in NumPy.
+// ---------------------------------------------------------------------------
+
+void ba_tile_minmax(const int32_t* ids, int64_t n, int64_t bound,
+                    int64_t tile, int32_t mode, int64_t num_tiles,
+                    int64_t* mn, int64_t* mx) {
+  for (int64_t t = 0; t < num_tiles; ++t) {
+    mn[t] = std::numeric_limits<int64_t>::max();
+    mx[t] = -1;
+  }
+  if (mode == 0) {
+    for (int64_t x = 0; x < n; ++x) {
+      const int32_t v = ids[x];
+      if (v < 0 || v >= bound) continue;
+      const int64_t t = v / tile;
+      mn[t] = std::min(mn[t], x);
+      mx[t] = std::max(mx[t], x);
+    }
+  } else {
+    for (int64_t x = 0; x < n; ++x) {
+      const int32_t v = ids[x];
+      if (v < 0 || v >= bound) continue;
+      const int64_t c = x / tile;
+      mn[c] = std::min<int64_t>(mn[c], v);
+      mx[c] = std::max<int64_t>(mx[c], v);
+    }
+  }
+}
 
 // ---------------------------------------------------------------------------
 // Locality reorder (C++ port of solver/structure.py::_locality_reorder):

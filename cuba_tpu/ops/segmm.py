@@ -164,15 +164,21 @@ class AccumWindowPlan:
 def plan_accum_windows(
     ids: np.ndarray, num_out: int, *, chunk: int = 1024, max_win: int = 512
 ) -> AccumWindowPlan:
-    ids = np.asarray(ids, np.int64)
+    ids = np.asarray(ids)
     N = int(ids.size)
     C = max(N // chunk, 1)
     if N % chunk != 0 or num_out <= 0:
         return AccumWindowPlan(chunk, 0, C, np.zeros(C, np.int32), 0, False)
-    iv = ids.reshape(C, chunk)
-    valid = (iv >= 0) & (iv < num_out)
-    lo = np.where(valid, iv, np.int64(1) << 40).min(axis=1)
-    hi = np.where(valid, iv, -1).max(axis=1)
+    from cuba_tpu import native
+
+    nat = native.tile_minmax(ids, num_out, chunk, 1, C)
+    if nat is not None:
+        lo, hi = nat
+    else:
+        iv = ids.astype(np.int64).reshape(C, chunk)
+        valid = (iv >= 0) & (iv < num_out)
+        lo = np.where(valid, iv, np.int64(1) << 40).min(axis=1)
+        hi = np.where(valid, iv, -1).max(axis=1)
     empty = hi < 0
     lo[empty] = 0
     hi[empty] = 0
@@ -269,13 +275,19 @@ def plan_tiles(
     """
     N = int(ids.size)
     num_tiles = max((num_out + tile - 1) // tile, 1)
-    valid = (ids >= 0) & (ids < num_out)
-    idx = np.nonzero(valid)[0]
-    t_of = ids[idx] // tile
-    first = np.full(num_tiles, N, dtype=np.int64)
-    last = np.full(num_tiles, -1, dtype=np.int64)
-    np.minimum.at(first, t_of, idx)
-    np.maximum.at(last, t_of, idx)
+    from cuba_tpu import native
+
+    nat = native.tile_minmax(ids, num_out, tile, 0, num_tiles)
+    if nat is not None:
+        first, last = nat
+    else:
+        valid = (ids >= 0) & (ids < num_out)
+        idx = np.nonzero(valid)[0]
+        t_of = ids[idx] // tile
+        first = np.full(num_tiles, np.int64(1) << 62, dtype=np.int64)
+        last = np.full(num_tiles, -1, dtype=np.int64)
+        np.minimum.at(first, t_of, idx)
+        np.maximum.at(last, t_of, idx)
     empty = last < 0
     first[empty] = 0
     last[empty] = 0
@@ -301,12 +313,21 @@ def plan_gather_tiles(
     """Plan for tiled_gather: per output tile, the source-column window."""
     N = int(ids.size)
     num_tiles = max((N + tile - 1) // tile, 1)
-    pad = num_tiles * tile - N
-    idp = np.concatenate([ids, np.full(pad, -1, np.int32)]).reshape(num_tiles, tile)
-    valid = (idp >= 0) & (idp < num_src)
-    any_valid = valid.any(axis=1)
-    lo = np.where(any_valid, np.where(valid, idp, num_src).min(axis=1), 0)
-    hi = np.where(any_valid, np.where(valid, idp, -1).max(axis=1), 0)
+    from cuba_tpu import native
+
+    nat = native.tile_minmax(ids, num_src, tile, 1, num_tiles)
+    if nat is not None:
+        lo, hi = nat
+        any_valid = hi >= 0
+        lo[~any_valid] = 0
+        hi[~any_valid] = 0
+    else:
+        pad = num_tiles * tile - N
+        idp = np.concatenate([ids, np.full(pad, -1, np.int32)]).reshape(num_tiles, tile)
+        valid = (idp >= 0) & (idp < num_src)
+        any_valid = valid.any(axis=1)
+        lo = np.where(any_valid, np.where(valid, idp, num_src).min(axis=1), 0)
+        hi = np.where(any_valid, np.where(valid, idp, -1).max(axis=1), 0)
     base_block = lo // block
     n_blocks = int(np.max(hi // block + 1 - base_block)) if num_tiles else 1
     base_block[~any_valid] = -1  # kernels skip compute for empty tiles
@@ -482,6 +503,7 @@ def plan_schur(
     chunk: int = 1024,
     slot_block: int = 512,
     max_kwin: int = 1024,
+    precomputed=None,
 ) -> SchurPlan:
     """Sort triplets by landmark (== by slot i, since slots are landmark-major)
     and derive per-chunk slot windows + COMPACT output block lists (each chunk
@@ -489,9 +511,17 @@ def plan_schur(
     dense id-window instead dilutes the combine stage ~25x).
     ok=False when locality is insufficient.
 
-    Dispatches to the C++ planner (cuba_tpu/native) when available — this
-    is ~0.6s of pure indexing at kitti00 scale in NumPy, ~60ms in C++."""
+    ``precomputed`` takes the raw fused-plan tuple the C++ symbolic pass
+    emits alongside the triplets (BAStructure.schur_native) — same layout,
+    zero extra work here.  Otherwise dispatches to the standalone C++
+    planner (cuba_tpu/native) when available — this is ~0.6s of pure
+    indexing at kitti00 scale in NumPy, ~60ms in C++."""
     from cuba_tpu import native
+
+    if precomputed is not None and (chunk, slot_block, max_kwin) == (1024, 512, 1024):
+        kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = precomputed
+        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk, gid,
+                         n_slot_pad, n_hsc_pad, ok)
 
     nat = native.schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin)
     if nat is not None:

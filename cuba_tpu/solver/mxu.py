@@ -214,7 +214,8 @@ def plan_mxu(
     # pass int32 straight through: the C++ planner consumes int32 and the
     # int64 round trip cost ~80ms of pure conversion at kitti00 scale
     sc = (
-        segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc)
+        segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc,
+                         precomputed=s.schur_native)
         if need_dense
         else None
     )

@@ -86,6 +86,11 @@ class BAStructure:
     stereo_perm: np.ndarray = None  # [E3] int64
     # active-landmark renumbering applied for pose-locality (old -> new)
     lm_rank: np.ndarray = None  # [num_l] int64
+    # fused Schur chunk plan from the C++ symbolic pass (raw tuple:
+    # (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) at
+    # chunk=1024/slot_block=512/max_kwin=1024), or None on the NumPy path —
+    # segmm.plan_schur consumes it and skips its own planning pass.
+    schur_native: tuple = None
 
     @property
     def n_hpl(self) -> int:
@@ -403,7 +408,7 @@ def _finish_structure(
     nat = native.symbolic_compile(e_pi, e_li, num_p, num_l)
     if nat is not None:
         (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
-         lk_K, lk_pose, edge2lk) = nat
+         lk_K, lk_pose, edge2lk, schur_native) = nat
         return BAStructure(
             num_p=num_p,
             num_l=num_l,
@@ -429,6 +434,7 @@ def _finish_structure(
             mono_perm=mono_perm,
             stereo_perm=stereo_perm,
             lm_rank=lm_rank,
+            schur_native=schur_native,
         )
 
     # --- Hpl block-CSC (deduplicated) ------------------------------------
@@ -457,11 +463,12 @@ def _finish_structure(
         uniq_blk, mul_k = np.unique(blk_key, return_inverse=True)
         hsc_row = (uniq_blk // max(num_p, 1)).astype(np.int32)
         hsc_col = (uniq_blk % max(num_p, 1)).astype(np.int32)
-        # sort triplets by k for locality / monotone segment ids (cu:1189)
-        order = np.argsort(mul_k, kind="stable")
-        mul_i = i_idx[order].astype(np.int32)
-        mul_j = j_idx[order].astype(np.int32)
-        mul_k = mul_k[order].astype(np.int32)
+        # triplets stay in landmark-major generation order (mul_i
+        # non-decreasing) — the layout the fused Schur kernel plans over;
+        # mul_k values are row-major Hsc ranks (np.unique sorts keys)
+        mul_i = i_idx.astype(np.int32)
+        mul_j = j_idx.astype(np.int32)
+        mul_k = mul_k.astype(np.int32)
     else:
         hsc_row = np.zeros(0, dtype=np.int32)
         hsc_col = np.zeros(0, dtype=np.int32)

@@ -87,8 +87,10 @@ class TestStructure:
         np.testing.assert_array_equal(s.hsc_row, [0, 0, 1])
         np.testing.assert_array_equal(s.hsc_col, [0, 1, 1])
         assert s.n_mul == 5
-        # triplets sorted by k; row(i) <= row(j) within each
-        assert np.all(s.mul_k[:-1] <= s.mul_k[1:])
+        # triplets in landmark-major generation order: mul_i non-decreasing,
+        # i <= j within each pair (the layout the fused Schur kernel plans on)
+        assert np.all(s.mul_i[:-1] <= s.mul_i[1:])
+        assert np.all(s.mul_i <= s.mul_j)
         np.testing.assert_array_equal(s.hpl_col[s.mul_i], s.hpl_col[s.mul_j])
         assert np.all(s.hpl_row[s.mul_i] == s.hsc_row[s.mul_k])
         assert np.all(s.hpl_row[s.mul_j] == s.hsc_col[s.mul_k])
