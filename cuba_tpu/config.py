@@ -48,6 +48,11 @@ class BAConfig:
       pcg_max_iterations / pcg_tol: PCG stopping controls.
       pose_block_pad: pad the dense reduced system to a multiple of this
         (128 aligns with the MXU lane count).
+      mesh: a ``jax.sharding.Mesh`` with a ``"landmarks"`` axis to run the
+        optimizer multi-chip (landmark-sharded assembly, sparse Hsc-block
+        all-reduce over ICI — cuba_tpu/parallel/sharding.py).  ``None``
+        (default) runs single-chip.  This is a TPU-native scaling extension;
+        the reference is strictly single-GPU (SURVEY.md §2).
     """
 
     dtype: Optional[jnp.dtype] = None
@@ -64,6 +69,7 @@ class BAConfig:
     pcg_max_iterations: int = 250
     pcg_tol: float = 1e-10
     pose_block_pad: int = 128
+    mesh: Optional[object] = None  # jax.sharding.Mesh with a "landmarks" axis
 
     def resolve_dtype(self):
         return jnp.dtype(self.dtype) if self.dtype is not None else jnp.dtype(default_dtype())

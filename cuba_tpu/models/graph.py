@@ -169,7 +169,14 @@ class BundleAdjustment:
             self._mono_edges,
             self._stereo_edges,
         )
-        self._engine = BlockSolverEngine(structure, self._kernels, self.config)
+        if self.config.mesh is not None:
+            from cuba_tpu.parallel.sharding import MultiChipSolverAdapter
+
+            self._engine = MultiChipSolverAdapter(
+                structure, self._kernels, self.config, self.config.mesh
+            )
+        else:
+            self._engine = BlockSolverEngine(structure, self._kernels, self.config)
         # None = "pristine initial state still packed in the upload blobs":
         # the first optimize() unpacks it inside the LM dispatch (engine
         # fast path); materialized lazily by anything else that needs it

@@ -8,11 +8,14 @@ reduction rides ICI all-reduces:
 
   per shard:   residuals, chi2 part, Hpp/bp contributions, Hll/bl (owned),
                Hpl blocks (owned), invHll, W = Hpl invHll, local triplet
-               products scattered into a local dense Schur image
-  collectives: chi2 = psum;  Hpp, bp, bsc, dense Hsc = psum (one fused
-               all-reduce of the padded dense matrix per LM attempt)
-  replicated:  lambda control, dense Cholesky of the reduced system, pose
-               update (identical on every device)
+               products segment-summed into the SPARSE Hsc block table
+  collectives: chi2 = psum;  Hpp [P,6,6], bp [P,6], bsc [P,6] and the
+               sparse Hsc block table [n_hsc,6,6] = psum — the per-attempt
+               all-reduce is ~36*n_hsc floats (~1.7 MB at kitti00 scale),
+               NOT the dense padded matrix (~285 MB), which is formed
+               REPLICATED from the reduced table on every device
+  replicated:  dense formation, lambda control, dense Cholesky of the
+               reduced system, pose update (identical on every device)
   local:       back-substitution xl and landmark updates (owned landmarks)
 
 The whole LM loop (same control law as the single-chip engine,
@@ -55,9 +58,11 @@ class ShardedConsts(NamedTuple):
     hpl_col: jnp.ndarray  # [S, Hpad] shard-local landmark col
     mul_i: jnp.ndarray  # [S, Mpad] local slot
     mul_j: jnp.ndarray  # [S, Mpad]
-    mul_r: jnp.ndarray  # [S, Mpad] global pose pair (row)
-    mul_c: jnp.ndarray  # [S, Mpad] global pose pair (col)
+    mul_k: jnp.ndarray  # [S, Mpad] GLOBAL Hsc block id (n_hsc on padding)
     lm_count: jnp.ndarray  # [S] active landmarks in shard
+    # replicated Hsc block pattern for the per-device dense formation
+    hsc_row: jnp.ndarray  # [n_hsc]
+    hsc_col: jnp.ndarray  # [n_hsc]
 
 
 @dataclasses.dataclass
@@ -65,6 +70,7 @@ class ShardedProblem:
     structure: BAStructure
     n_shards: int
     lm_pad: int  # landmarks per shard (padded)
+    lm_pad_active: int  # offset of the replicated fixed-landmark tail
     consts: ShardedConsts
     qs: jnp.ndarray  # [total_p, 4] replicated
     ts: jnp.ndarray
@@ -175,14 +181,12 @@ def shard_problem(structure: BAStructure, n_shards: int, dtype) -> ShardedProble
     Mpad = max(int(trip_counts.max()), 1)
     mul_i_s = np.full((S, Mpad), Hpad, np.int32)  # pad -> zero W slot
     mul_j_s = np.full((S, Mpad), Hpad, np.int32)
-    mul_r_s = np.zeros((S, Mpad), np.int32)
-    mul_c_s = np.zeros((S, Mpad), np.int32)
+    mul_k_s = np.full((S, Mpad), s.n_hsc, np.int32)  # pad -> dropped segment
     for sh in range(S):
         sel = np.where(trip_sh == sh)[0]
         mul_i_s[sh, : sel.size] = slot_remap[s.mul_i[sel]]
         mul_j_s[sh, : sel.size] = slot_remap[s.mul_j[sel]]
-        mul_r_s[sh, : sel.size] = s.hsc_row[s.mul_k[sel]]
-        mul_c_s[sh, : sel.size] = s.hsc_col[s.mul_k[sel]]
+        mul_k_s[sh, : sel.size] = s.mul_k[sel]
 
     dt = dtype
     consts = ShardedConsts(
@@ -205,14 +209,16 @@ def shard_problem(structure: BAStructure, n_shards: int, dtype) -> ShardedProble
         hpl_col=jnp.asarray(hpl_col_s),
         mul_i=jnp.asarray(mul_i_s),
         mul_j=jnp.asarray(mul_j_s),
-        mul_r=jnp.asarray(mul_r_s),
-        mul_c=jnp.asarray(mul_c_s),
+        mul_k=jnp.asarray(mul_k_s),
         lm_count=jnp.asarray(per_shard_active, jnp.int32),
+        hsc_row=jnp.asarray(s.hsc_row, jnp.int32),
+        hsc_col=jnp.asarray(s.hsc_col, jnp.int32),
     )
     return ShardedProblem(
         structure=s,
         n_shards=S,
         lm_pad=lm_pad,
+        lm_pad_active=lm_pad_active,
         consts=consts,
         qs=jnp.asarray(s.qs, dt),
         ts=jnp.asarray(s.ts, dt),
@@ -252,10 +258,11 @@ class MultiChipEngine:
             ("stereo", c.stereo, 3, self.kernels[1]),
         ):
             err, Xc = assembly.edge_residuals(qs, ts, c.cams, Xws_l, ec, mdim)
-            x = ec.omega * jnp.sum(err * err, axis=-1)
-            rho = robust.robustify(x, kern[0], kern[1])
-            # padded edges: omega=0 -> x=0 -> rho(0)=0 for all kernel types
-            chi = chi + jnp.sum(rho.astype(self.chi_dtype))
+            # padded edges: omega=0 -> x=0 -> rho(0)=0 for all kernel types.
+            # chi_sum routes fp32 through the compensated two-float tree
+            # (ops/dsum.py) — same accumulator as the single-chip engine, so
+            # multi-chip chi2 stays parity-grade at real edge counts.
+            chi = chi + assembly.chi_sum(err, ec.omega, kern, self.chi_dtype)
             out[name] = (err, Xc)
         return out, chi
 
@@ -269,17 +276,19 @@ class MultiChipEngine:
         n_hpl_pad = int(self.problem.consts.hpl_row.shape[1])
         kernels = self.kernels
 
+        n_hsc = int(self.problem.consts.hsc_row.shape[0])
+
         def shard_body(qs, ts, Xws_l, cams, mono, stereo, hpl_row, hpl_col,
-                       mul_i, mul_j, mul_r, mul_c, lm_count):
+                       mul_i, mul_j, mul_k, lm_count, hsc_row, hsc_col):
             # squeeze the leading shard axis shard_map leaves on sharded args
-            (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_r,
-             mul_c, lm_count) = jax.tree.map(
+            (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_k,
+             lm_count) = jax.tree.map(
                 lambda a: a[0],
-                (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_r,
-                 mul_c, lm_count),
+                (Xws_l, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_k,
+                 lm_count),
             )
             c = ShardedConsts(cams, mono, stereo, hpl_row, hpl_col,
-                              mul_i, mul_j, mul_r, mul_c, lm_count)
+                              mul_i, mul_j, mul_k, lm_count, hsc_row, hsc_col)
             # mask for locally-owned ACTIVE landmarks (excludes pad + fixed)
             lm_active = (jnp.arange(num_l_pad) < lm_count)[:, None]
 
@@ -310,20 +319,28 @@ class MultiChipEngine:
                 W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col])
                 Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col])
                 bsc_local = -jax.ops.segment_sum(Wbl, hpl_row, num_segments=num_p)
-                # triplet products into a local dense image, then all-reduce
+                # triplet products segment-summed into the SPARSE Hsc block
+                # table; pad triplets carry mul_k == n_hsc and drop out.  The
+                # all-reduce moves 36*n_hsc floats (~1.7 MB at kitti00 scale)
+                # instead of the padded dense image (~285 MB).
                 prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
                                   Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)])
                 pad_t = (mul_i >= n_hpl_pad)[:, None, None]
                 prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
-                D = jnp.zeros((PB, 6, PB, 6), dt)
-                D = D.at[mul_r, :, mul_c, :].add(-prod)
-                off = (mul_r != mul_c)[:, None, None] & ~pad_t
-                D = D.at[mul_c, :, mul_r, :].add(
-                    jnp.where(off, -jnp.swapaxes(prod, -1, -2), jnp.zeros_like(prod))
-                )
-                # all-reduce the sparse contributions + bp/bsc
-                D = jax.lax.psum(D, AXIS)
+                blocks = jax.ops.segment_sum(
+                    prod, jnp.minimum(mul_k, n_hsc), num_segments=n_hsc + 1
+                )[:n_hsc]
+                blocks = jax.lax.psum(blocks, AXIS)
                 bsc = bp + jax.lax.psum(bsc_local, AXIS)
+                # replicated dense formation from the reduced block table
+                # (upper-tri blocks + symmetric mirror, the reference's
+                # BSR->CSR expansion semantics, sparse_block_matrix.cpp:205-226)
+                D = jnp.zeros((PB, 6, PB, 6), dt)
+                D = D.at[hsc_row, :, hsc_col, :].add(-blocks)
+                off = (hsc_row != hsc_col)[:, None, None]
+                D = D.at[hsc_col, :, hsc_row, :].add(
+                    jnp.where(off, -jnp.swapaxes(blocks, -1, -2), jnp.zeros_like(blocks))
+                )
                 # replicated: add damped Hpp to diagonal + identity padding
                 diag = jnp.arange(num_p)
                 D = D.at[diag, :, diag, :].add(Hpp_d)
@@ -419,7 +436,7 @@ class MultiChipEngine:
             rep, rep, sharded, rep,
             EdgeConsts(sharded, sharded, sharded, sharded, sharded),
             EdgeConsts(sharded, sharded, sharded, sharded, sharded),
-            sharded, sharded, sharded, sharded, sharded, sharded, sharded,
+            sharded, sharded, sharded, sharded, sharded, sharded, rep, rep,
         )
         out_specs = (rep, rep, sharded, rep, rep)
 
@@ -431,7 +448,7 @@ class MultiChipEngine:
                 out_specs=out_specs,
                 check_vma=False,
             )(qs, ts, Xws_s, c.cams, c.mono, c.stereo, c.hpl_row, c.hpl_col,
-              c.mul_i, c.mul_j, c.mul_r, c.mul_c, c.lm_count)
+              c.mul_i, c.mul_j, c.mul_k, c.lm_count, c.hsc_row, c.hsc_col)
 
         return run
 
@@ -448,3 +465,94 @@ class MultiChipEngine:
         """[num_l, 3] active landmark estimates in global order."""
         Xws = np.asarray(self.problem.Xws)
         return Xws[self.problem.lm_shard, self.problem.lm_local]
+
+
+class MultiChipSolverAdapter:
+    """``BlockSolverEngine``-shaped facade over :class:`MultiChipEngine` so
+    the public :class:`cuba_tpu.BundleAdjustment` runs multi-chip
+    transparently via ``BAConfig(mesh=...)`` — the reference has no
+    equivalent (single-GPU, SURVEY.md §2); this is the TPU scaling
+    extension (BASELINE config 5)."""
+
+    def __init__(self, structure: BAStructure, kernels, config: BAConfig, mesh: Mesh):
+        self.structure = structure
+        self.config = config
+        self.dtype = config.resolve_dtype()
+        self._mc = MultiChipEngine(structure, kernels, config, mesh)
+        self._kernels = tuple((int(k[0]), float(k[1])) for k in kernels)
+
+    def _global_state(self):
+        from cuba_tpu.solver.engine import State
+
+        p = self._mc.problem
+        s = self.structure
+        Xg = np.zeros((s.total_l, 3), np.asarray(p.Xws).dtype)
+        if s.num_l:
+            Xg[: s.num_l] = self._mc.gathered_landmarks()
+        if s.total_l > s.num_l:  # replicated fixed tail lives on shard 0
+            nf = s.total_l - s.num_l
+            Xg[s.num_l :] = np.asarray(p.Xws)[0, p.lm_pad_active : p.lm_pad_active + nf]
+        return State(qs=jnp.asarray(p.qs), ts=jnp.asarray(p.ts), Xws=jnp.asarray(Xg))
+
+    def optimize(self, state, niterations: int):
+        """Run the sharded LM loop.  ``state`` is ignored: the sharded
+        problem carries its own (device-resident, shard-partitioned) state,
+        updated in place across calls — semantics match repeated
+        ``optimize()`` on the single-chip engine."""
+        from cuba_tpu.solver.engine import LMResult
+
+        chis, qs, ts, _ = self._mc.optimize(niterations)
+        chis_full = np.zeros(niterations, np.float64)
+        chis_full[: chis.size] = chis
+        return LMResult(
+            state=self._global_state(),
+            chis=jnp.asarray(chis_full),
+            niters=jnp.int32(chis.size),
+            final_lambda=jnp.asarray(0.0, self.dtype),
+        )
+
+    def optimize_profiled(self, state, niterations: int):
+        raise NotImplementedError(
+            "optimize(profile=True) is not supported with BAConfig(mesh=...); "
+            "run the profile pass on a single-chip BundleAdjustment"
+        )
+
+    def chi_squares(self, state) -> np.ndarray:
+        """Per-edge unrobustified chi2 in original insertion order (the
+        public chiSquared query, reference: cuda_block_solver.cu:841-875) —
+        computed replicated on the default device from the gathered state."""
+        from cuba_tpu.solver import assembly
+        from cuba_tpu.solver.assembly import EdgeConsts
+
+        s = self.structure
+        st = state if state is not None else self._global_state()
+        dt = self.dtype
+        out = []
+        for ea, mdim in ((s.mono, 2), (s.stereo, 3)):
+            if not ea.count:
+                out.append(np.zeros(0, np.float64))
+                continue
+            ec = EdgeConsts(
+                meas=jnp.asarray(ea.measurements, dt),
+                omega=jnp.asarray(ea.omegas, dt),
+                pose_idx=jnp.asarray(ea.pose_idx),
+                lm_idx=jnp.asarray(ea.lm_idx),
+                edge2hpl=jnp.zeros(ea.count, jnp.int32),
+            )
+            err, _ = assembly.edge_residuals(
+                jnp.asarray(st.qs, dt), jnp.asarray(st.ts, dt),
+                jnp.asarray(s.cams, dt), jnp.asarray(st.Xws, dt), ec, mdim,
+            )
+            out.append(np.asarray(assembly.chi_squares(err, ec.omega)))
+        internal = np.concatenate(out)
+        res = np.empty_like(internal)
+        nm = s.mono.count
+        if s.mono_perm is not None and nm:
+            res[:nm][s.mono_perm] = internal[:nm]
+        else:
+            res[:nm] = internal[:nm]
+        if s.stereo_perm is not None and internal.size > nm:
+            res[nm:][s.stereo_perm] = internal[nm:]
+        else:
+            res[nm:] = internal[nm:]
+        return res

@@ -42,6 +42,39 @@ def test_multichip_matches_single_chip(ndev):
     np.testing.assert_allclose(Xw_multi, Xw_single, atol=1e-7)
 
 
+def test_public_api_mesh_config():
+    """BAConfig(mesh=...) drives the full multi-chip path through the public
+    BundleAdjustment surface: optimize, batch_statistics, write-back into
+    vertex objects, and the per-edge chiSquared query."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    ba = synthetic.build_graph(prob)
+    ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba.initialize()
+    ba.optimize(5)
+    chis_single = np.array([s.chi2 for s in ba.batch_statistics()])
+    lm_single = {v.id: np.array(ba.landmark_vertex(v.id).Xw) for v in ba._landmarks.values()}
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    ba2 = synthetic.build_graph(prob, config=BAConfig(mesh=mesh))
+    ba2.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba2.initialize()
+    ba2.optimize(5)
+    chis_multi = np.array([s.chi2 for s in ba2.batch_statistics()])
+
+    n = min(len(chis_single), len(chis_multi))
+    assert n >= 3
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))
+    # estimates written back through the public surface match
+    for vid, xw in lm_single.items():
+        np.testing.assert_allclose(ba2.landmark_vertex(vid).Xw, xw, atol=1e-7)
+    # per-edge chi2 query works on the mesh path
+    e = next(iter(ba2._mono_edges))
+    assert np.isfinite(ba2.chi_squared(e))
+
+
 def test_multichip_with_fixed_landmarks():
     prob = synthetic.generate(num_poses=6, num_landmarks=48, seed=17)
     ba = synthetic.build_graph(prob)

@@ -1,0 +1,45 @@
+import os
+os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','') + ' --xla_force_host_platform_device_count=8'
+import time, numpy as np, jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+# kitti07-scale single-chip vs 8-virtual-device-mesh parity harness
+# (VERDICT round-1 item 3).  fp64: reduction-order differences between the
+# shard-local segment sums + psum tree and the single-chip order are ~1e-15;
+# in fp32 they are ~1e-7 per evaluation and amplify chaotically through the
+# LM trajectory (measured 1.4e-3 after 5 iterations) -- same reason the
+# reference compares CPU<->GPU in double (reference README.md:176-192).
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from cuba_tpu.config import BAConfig
+from cuba_tpu.io import synthetic
+from cuba_tpu.ops import robust
+from cuba_tpu.parallel.sharding import AXIS, MultiChipEngine
+from cuba_tpu.solver.engine import BlockSolverEngine
+from cuba_tpu.solver.structure import build_structure_from_arrays
+
+prob = synthetic.generate(num_poses=248, num_landmarks=26127,
+                          mean_obs_per_landmark=4.65, stereo_fraction=0.25, seed=0)
+cams = np.tile(prob.cam, (248, 1))
+fixed_p = np.zeros(248, bool); fixed_p[prob.fixed_poses] = True
+fixed_l = np.zeros(26127, bool)
+s = build_structure_from_arrays(prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
+    prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+    prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w)
+E = prob.mono_p.size + prob.stereo_p.size
+kernels = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+cfg = BAConfig(dtype=jnp.float64)
+eng1 = BlockSolverEngine(s, kernels, cfg)
+t0=time.perf_counter(); r = eng1.optimize(None, 5); n1=int(r.niters); t1=time.perf_counter()
+c1 = np.asarray(r.chis)[:n1]
+t0b=time.perf_counter(); r = eng1.optimize(eng1.state if False else None, 5); _=int(r.niters); t1b=time.perf_counter()
+mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
+eng8 = MultiChipEngine(s, kernels, cfg, mesh)
+t2=time.perf_counter(); c8, qs, ts, _ = eng8.optimize(5); t3=time.perf_counter()
+t4=time.perf_counter(); c8b, qs, ts, _ = MultiChipEngine(s, kernels, cfg, mesh).optimize(5); t5=time.perf_counter()
+n = min(c1.size, len(c8))
+rel = np.abs(c1[:n]-np.asarray(c8[:n]))/np.abs(c1[:n])
+print(f"E={E} n_hsc={s.n_hsc}")
+print(f"single-chip (CPU xla path, warm compile in 1st): run1 {t1-t0:.1f}s run2 {t1b-t0b:.1f}s chis {c1}")
+print(f"8-dev mesh: run1 {t3-t2:.1f}s run2(fresh engine, cached jit) {t5-t4:.1f}s chis {np.asarray(c8)[:n]}")
+print(f"parity max rel: {rel.max():.2e}  -> {'OK' if rel.max()<1e-6 else 'FAIL'}")
