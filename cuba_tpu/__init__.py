@@ -14,6 +14,7 @@ drop in unchanged, while the compute path is idiomatic JAX:
   host synchronisation.
 """
 
+from cuba_tpu import native as _native  # noqa: F401  (applies malloc tuning)
 from cuba_tpu.config import BAConfig
 from cuba_tpu.models.types import (
     CameraParams,

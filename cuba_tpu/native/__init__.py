@@ -62,6 +62,29 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
+def _tune_allocator() -> None:
+    """Keep large allocations on the persistent heap.
+
+    glibc serves allocations >128KB via mmap and munmaps them on free, so
+    every symbolic pass / constant-packing call re-faults its working set
+    from the kernel (~50MB/s on single-core VMs — measured 0.9s of noise
+    per bench trial at kitti00 scale, docs/PERF_NOTES.md).  Raising the
+    mmap threshold and disabling trim keeps freed pages warm for the next
+    NumPy/C++ allocation.  Process-wide, deliberately: the reference's
+    answer to the same problem class is its device-memory arena
+    (reference: include/device_buffer.h - single resizable allocation)."""
+    try:
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except (OSError, AttributeError):
+        pass
+
+
+_tune_allocator()
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """The native library, building it on first use; None if unavailable."""
     global _lib, _tried

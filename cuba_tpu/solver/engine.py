@@ -82,15 +82,184 @@ def _pad_blocks(num_p: int) -> int:
 
 
 class _EarlyRef:
-    """Marker leaf: this value already lives on device inside the early
-    float blob (dispatched before the host planning pass so the transfer
-    overlaps it); the unpack slices it out instead of re-uploading."""
+    """Marker leaf: this value already lives on device inside the EARLY
+    blob (packed + dispatched right after the structure pass, BEFORE the
+    host planning pass, so its tunnel transfer overlaps plan_mxu + the
+    residual constant packing).  The traced unpack rebuilds the leaf from
+    the early part ``key`` and zero-cost pads it from the guessed shape
+    up to the plan's final shape with ``pad_val``."""
 
-    __slots__ = ("offset", "shape")
+    __slots__ = ("key", "src_shape", "dst_shape", "pad_val", "dtype")
 
-    def __init__(self, offset, shape):
-        self.offset = offset
-        self.shape = tuple(shape)
+    def __init__(self, key, src_shape, dst_shape=None, pad_val=0, dtype=None):
+        self.key = key
+        self.src_shape = tuple(src_shape)
+        self.dst_shape = tuple(dst_shape) if dst_shape is not None else tuple(src_shape)
+        self.pad_val = pad_val
+        self.dtype = dtype
+
+    def spec(self, i):
+        return (i, self.key, self.src_shape, self.dst_shape, self.pad_val,
+                str(self.dtype))
+
+
+_CH = 1024  # delta8 chunk length (int32 bases absorb per-chunk leads)
+
+
+def _try_d8(arr):
+    """Delta-encode: int8 deltas when they fit, int16 otherwise."""
+    if arr.ndim != 1 or arr.size < 4096 or arr.dtype not in (np.int32, np.int16):
+        return None
+    x = arr.astype(np.int64)
+    pad_val = int(x[-1])
+    nz = np.nonzero(x != pad_val)[0]
+    V = int(nz[-1]) + 1 if nz.size else 0  # index after last non-pad value
+    if V < 2048:
+        return None
+    Cv = (V + _CH - 1) // _CH
+    dfull = np.zeros(Cv * _CH, np.int64)
+    dfull[1:V] = np.diff(x[:V])
+    dfull[::_CH] = 0  # chunk leads ride in the int32 bases instead
+    dmax, dmin = dfull.max(), dfull.min()
+    if dmax <= 127 and dmin >= -128:
+        deltas = dfull.astype(np.int8)
+    elif dmax <= 32767 and dmin >= -32768 and arr.dtype == np.int32:
+        deltas = dfull.astype(np.int16)  # still half the int32 wire
+    else:
+        return None
+    return x[:V:_CH].astype(np.int32), deltas, V, arr.size, pad_val
+
+
+def _pack_i16(a):
+    a = a.ravel()
+    if a.size % 2:
+        a = np.concatenate([a, a[-1:]])
+    return np.ascontiguousarray(a).view(np.int32)
+
+
+def _pack_i8(a):
+    a = a.ravel()
+    if a.size % 4:
+        a = np.concatenate([a, np.zeros(4 - a.size % 4, a.dtype)])
+    return np.ascontiguousarray(a).view(np.int32)
+
+
+def _narrow16(a):
+    """int16 view of an int32 table whose values fit — halves the wire."""
+    a = np.asarray(a)
+    if a.dtype == np.int32 and a.size and -32768 <= int(a.min()) and int(a.max()) <= 32767:
+        return a.astype(np.int16)
+    return a
+
+
+def _pack_group(items):
+    """Pack named float32/int32/int16 arrays into ONE int32 wire blob.
+
+    Encodings (tunnel moves ~90MB/s with ~50ms latency per transfer, so
+    both bytes and transfer count matter):
+    * float32 rides as a same-width bitcast;
+    * int16 ships shift-packed two-per-int32 (widened back on device);
+    * 1-D int tables whose intra-chunk first differences fit int8 ship as
+      shift-packed deltas + int32 chunk bases, rebuilt by a device cumsum.
+
+    Returns (int32 blob, meta); meta is hashable and drives the traced
+    ``_unpack_group``.
+    """
+    parts = []
+    enc = {}
+    payloads = []
+    off = 0
+
+    def add(key, mode, payload, n_orig):
+        nonlocal off
+        parts.append((key, mode, off, int(payload.size), int(n_orig)))
+        payloads.append(payload)
+        off += int(payload.size)
+
+    for key, arr in items:
+        arr = np.asarray(arr)
+        if arr.dtype == np.float32:
+            add(key, "f32", np.ascontiguousarray(arr.ravel()).view(np.int32), arr.size)
+            continue
+        if arr.dtype not in (np.int32, np.int16):
+            raise TypeError(f"_pack_group: unsupported dtype {arr.dtype} for {key}")
+        e = _try_d8(arr)
+        if e is not None:
+            bases, deltas, V, N, pad_val = e
+            dmode = "p8" if deltas.dtype == np.int8 else "p16"
+            add((key, "b"), "p32", bases, bases.size)
+            add((key, "d"), dmode,
+                _pack_i8(deltas) if dmode == "p8" else _pack_i16(deltas), deltas.size)
+            enc[key] = (V, N, pad_val)
+        elif arr.dtype == np.int16:
+            add(key, "p16", _pack_i16(arr), arr.size)
+        else:
+            add(key, "p32", np.ascontiguousarray(arr.ravel(), np.int32), arr.size)
+
+    blob = np.concatenate(payloads) if payloads else np.zeros(1, np.int32)
+    return blob, (tuple(parts), tuple(sorted(enc.items())))
+
+
+def _unpack_group(dev, meta):
+    """Traced inverse of _pack_group: dict key -> flat array (f32 or i32)."""
+    parts_meta, enc_t = meta
+    enc = dict(enc_t)
+    raw = {}
+    for key, mode, off, psize, n_orig in parts_meta:
+        v = jax.lax.slice(dev, (off,), (off + psize,))
+        if mode == "p32":
+            raw[key] = v[:n_orig]
+        elif mode == "f32":
+            raw[key] = jax.lax.bitcast_convert_type(v, jnp.float32)
+        elif mode == "p16":
+            lo = (v << 16) >> 16
+            hi = v >> 16
+            raw[key] = jnp.stack([lo, hi], axis=1).reshape(-1)[:n_orig]
+        else:  # p8: four sign-extended bytes per int32
+            bs = [((v << (24 - 8 * b)) >> 24) for b in range(4)]
+            raw[key] = jnp.stack(bs, axis=1).reshape(-1)[:n_orig]
+    out = {}
+    for key, (V, N, pad_val) in enc.items():
+        body = (
+            raw[(key, "d")].reshape(-1, _CH).cumsum(axis=1)
+            + raw[(key, "b")][:, None]
+        ).reshape(-1)[:V]
+        out[key] = jnp.concatenate([body, jnp.full((N - V,), pad_val, jnp.int32)])
+    for key, v in raw.items():
+        is_enc_part = (
+            isinstance(key, tuple)
+            and len(key) == 2
+            and key[1] in ("b", "d")
+            and key[0] in enc
+        )
+        if not is_enc_part:
+            out[key] = v
+    return out
+
+
+def _debug_upload(iparts, flats, early_nbytes, tree):
+    import sys
+
+    by_mode: Dict[str, int] = {}
+    for key, mode, payload in iparts:
+        by_mode[mode] = by_mode.get(mode, 0) + payload.nbytes
+    print(
+        f"# upload: groups {[f.nbytes/1e6 for f in flats]} MB, early {early_nbytes/1e6} MB, "
+        f"int parts by mode {({m: round(b/1e6, 2) for m, b in by_mode.items()})} MB",
+        file=sys.stderr,
+    )
+    paths = {
+        i: jax.tree_util.keystr(kp)
+        for i, (kp, _) in enumerate(jax.tree_util.tree_flatten_with_path(tree)[0])
+    }
+    top = sorted(iparts, key=lambda p: -p[2].nbytes)[:12]
+    for key, mode, payload in top:
+        i = key[0] if isinstance(key, tuple) else key
+        print(
+            f"#   part {key} {paths.get(i, '?')} mode={mode} "
+            f"{payload.nbytes/1e6:.2f} MB",
+            file=sys.stderr,
+        )
 
 
 def _packed_device_put(tree, transform=None, transform_key=None, early=None,
@@ -98,99 +267,36 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
     """device_put a pytree of NumPy arrays with ONE transfer per dtype group.
 
     Per-leaf device_put issues one ~30ms round-trip per array through the
-    serving tunnel (~40 leaves -> 1.4s); packing into a single flat array
-    per dtype and slicing device-side costs two transfers + cheap async
-    on-device slices.
+    serving tunnel (~40 leaves -> 1.4s); packing into a single flat int32
+    blob (floats bitcast, narrow ints shift-packed, banded ids
+    delta-encoded — see _pack_group) and slicing device-side costs one
+    transfer + cheap async on-device slices.  f64/exotic dtypes ride in
+    plain per-dtype groups (the fp64 XLA path).
 
-    Wire compression (the tunnel moves ~90MB/s with ~50ms per-transfer
-    latency, so both bytes and transfer count matter):
-    * int16 leaves ride shift-packed two-per-int32 inside the int32 group
-      and are widened back to int32 during the on-device unpack;
-    * 1-D int tables whose intra-1024-chunk first differences fit int8
-      (sorted/banded id tables: landmark gids, hpl_col, pose sawtooths)
-      ship as int8 deltas shift-packed four-per-int32 plus int32 chunk
-      bases, rebuilt by an on-device cumsum (delta8);
-    * `transform` (e.g. mxu.derive_consts) runs inside the same unpack
-      dispatch.
-    Everything lands in at most two transfers (float group + int group).
+    ``early`` is (device_blob, early_meta, early_key) from a _pack_group
+    blob that was dispatched BEFORE the planning pass; _EarlyRef leaves are
+    rebuilt from it (and padded up to the plan's final shapes) instead of
+    re-uploading.  ``transform`` (e.g. mxu.derive_consts) runs inside the
+    same unpack dispatch.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    CH = 1024
 
-    def try_d8(arr):
-        """Delta-encode: int8 deltas when they fit, int16 otherwise."""
-        if arr.ndim != 1 or arr.size < 4096 or arr.dtype not in (np.int32, np.int16):
-            return None
-        x = arr.astype(np.int64)
-        pad_val = int(x[-1])
-        nz = np.nonzero(x != pad_val)[0]
-        V = int(nz[-1]) + 1 if nz.size else 0  # index after last non-pad value
-        if V < 2048:
-            return None
-        Cv = (V + CH - 1) // CH
-        dfull = np.zeros(Cv * CH, np.int64)
-        dfull[1:V] = np.diff(x[:V])
-        dfull[::CH] = 0  # chunk leads ride in the int32 bases instead
-        dmax, dmin = dfull.max(), dfull.min()
-        if dmax <= 127 and dmin >= -128:
-            deltas = dfull.astype(np.int8)
-        elif dmax <= 32767 and dmin >= -32768 and arr.dtype == np.int32:
-            deltas = dfull.astype(np.int16)  # still half the int32 wire
-        else:
-            return None
-        return x[:V:CH].astype(np.int32), deltas, V, arr.size, pad_val
-
-    def pack_i16(a):
-        a = a.ravel()
-        if a.size % 2:
-            a = np.concatenate([a, a[-1:]])
-        return np.ascontiguousarray(a).view(np.int32)
-
-    def pack_i8(a):
-        a = a.ravel()
-        if a.size % 4:
-            a = np.concatenate([a, np.zeros(4 - a.size % 4, a.dtype)])
-        return np.ascontiguousarray(a).view(np.int32)
-
-    # part lists: float leaves grouped per float dtype; every int payload
-    # normalizes into ONE int32 group
     fgroups: Dict[str, list] = {}
-    iparts = []  # (part_key, mode, int32 payload, n_orig)
-    enc = {}
+    gitems = []  # (leaf index, arr) -> int32 group via _pack_group
     early_refs = {}
     for i, leaf in enumerate(leaves):
         if isinstance(leaf, _EarlyRef):
-            early_refs[i] = (leaf.offset, leaf.shape)
+            early_refs[i] = leaf
             continue
         arr = np.asarray(leaf)
-        if arr.dtype == np.float32:
-            # same-width bitcast: f32 rides the int32 group so the whole
-            # upload is ONE transfer (each transfer costs ~40-60ms of
-            # tunnel latency); the unpack bitcasts back
-            iparts.append(
-                ((i, "p"), "f32", np.ascontiguousarray(arr.ravel()).view(np.int32),
-                 arr.size)
-            )
-            continue
-        if arr.dtype not in (np.int32, np.int16):
+        if arr.dtype in (np.float32, np.int32, np.int16):
+            gitems.append((i, arr))
+        else:
             # f64 and any exotic dtype ride in plain per-dtype groups
             fgroups.setdefault(str(arr.dtype), []).append((i, arr))
-            continue
-        e = try_d8(arr)
-        if e is not None:
-            bases, deltas, V, N, pad_val = e
-            dmode = "p8" if deltas.dtype == np.int8 else "p16"
-            dpack = pack_i8(deltas) if dmode == "p8" else pack_i16(deltas)
-            iparts.append(((i, "b"), "p32", bases, bases.size))
-            iparts.append(((i, "d"), dmode, dpack, deltas.size))
-            enc[i] = (V, N, pad_val)
-        elif arr.dtype == np.int16:
-            iparts.append(((i, "p"), "p16", pack_i16(arr), arr.size))
-        else:
-            iparts.append(((i, "p"), "p32", np.ascontiguousarray(arr.ravel(), np.int32), arr.size))
 
     flats = []
-    fmeta = []  # (leaf index, group index, offset, shape)
+    fmeta = []  # (leaf index, group index, offset, shape, dtype str)
     for g, (dts, items) in enumerate(fgroups.items()):
         flats.append(np.concatenate([a.ravel() for _, a in items]))
         off = 0
@@ -198,67 +304,52 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
             fmeta.append((i, g, off, a.shape, dts))
             off += a.size
     gi = len(flats)
-    imeta = []  # (part_key, mode, offset, packed size, n_orig)
-    ioff = 0
-    ipayload = []
-    for part_key, mode, payload, n_orig in iparts:
-        imeta.append((part_key, mode, ioff, payload.size, n_orig))
-        ipayload.append(payload)
-        ioff += payload.size
-    if ipayload:
-        flats.append(np.concatenate(ipayload))
+    gmeta = None
+    if gitems:
+        blob, gmeta = _pack_group(gitems)
+        if __import__("os").environ.get("CUBA_TPU_DEBUG_UPLOAD"):
+            _debug_upload(
+                [(k, m, blob[o : o + p]) for k, m, o, p, n in gmeta[0]],
+                flats + [blob],
+                0 if early is None else early[0].size * 4,
+                tree,
+            )
+        flats.append(blob)
     d_flats = jax.device_put(tuple(flats))
 
     shapes = tuple(
-        early_refs[i][1] if i in early_refs else np.asarray(l).shape
-        for i, l in enumerate(leaves)
+        None if isinstance(l, _EarlyRef) else np.asarray(l).shape for l in leaves
     )
-    spec = (tuple(fmeta), tuple(imeta), tuple(sorted(enc.items())), shapes,
-            tuple(sorted(early_refs.items())),
-            tuple((f.dtype.str, f.shape) for f in flats))
+    early_dev, early_meta = early if early is not None else (None, None)
+    spec = (
+        tuple(fmeta), gmeta, shapes,
+        tuple(ref.spec(i) for i, ref in sorted(early_refs.items())),
+        tuple((f.dtype.str, f.shape) for f in flats),
+        early_meta,
+    )
     key = ("unpack", spec, transform_key)
 
     def unpack(*fs):
-        eb = fs[len(flats)] if early_refs else None
         out = [None] * len(leaves)
-        for i, (off, shape) in early_refs.items():
-            size = int(np.prod(shape)) if shape else 1
-            out[i] = jax.lax.slice(eb, (off,), (off + size,)).reshape(shape)
+        if early_refs:
+            evals = _unpack_group(fs[len(flats)], early_meta)
+            for i, ref in early_refs.items():
+                src = evals[ref.key].reshape(ref.src_shape)
+                if ref.dst_shape != ref.src_shape:
+                    pad = [(0, d - s) for s, d in zip(ref.src_shape, ref.dst_shape)]
+                    src = jnp.pad(src, pad, constant_values=ref.pad_val)
+                out[i] = src
         for i, g, off, shape, _dts in fmeta:
             size = int(np.prod(shape)) if shape else 1
             out[i] = jax.lax.slice(fs[g], (off,), (off + size,)).reshape(shape)
-        parts = {}
-        for part_key, mode, off, psize, n_orig in imeta:
-            v = jax.lax.slice(fs[gi], (off,), (off + psize,))
-            if mode == "p32":
-                parts[part_key] = v[:n_orig]
-            elif mode == "f32":
-                parts[part_key] = jax.lax.bitcast_convert_type(v, jnp.float32)
-            elif mode == "p16":
-                lo = (v << 16) >> 16
-                hi = v >> 16
-                parts[part_key] = jnp.stack([lo, hi], axis=1).reshape(-1)[:n_orig]
-            else:  # p8: four sign-extended bytes per int32
-                bs = [((v << (24 - 8 * b)) >> 24) for b in range(4)]
-                parts[part_key] = jnp.stack(bs, axis=1).reshape(-1)[:n_orig]
-        for i in range(len(leaves)):
-            if out[i] is not None:
-                continue
-            if i in enc:
-                V, N, pad_val = enc[i]
-                body = (
-                    parts[(i, "d")].reshape(-1, CH).cumsum(axis=1)
-                    + parts[(i, "b")][:, None]
-                ).reshape(-1)[:V]
-                out[i] = jnp.concatenate(
-                    [body, jnp.full((N - V,), pad_val, jnp.int32)]
-                ).reshape(shapes[i])
-            else:
-                out[i] = parts[(i, "p")].reshape(shapes[i])
+        if gmeta is not None:
+            gvals = _unpack_group(fs[gi], gmeta)
+            for i, _arr in gitems:
+                out[i] = gvals[i].reshape(shapes[i])
         tree_out = jax.tree_util.tree_unflatten(treedef, list(out))
         return transform(tree_out) if transform is not None else tree_out
 
-    args = d_flats + (early,) if early_refs else d_flats
+    args = d_flats + ((early_dev,) if early_refs else ())
     if defer:
         # hand back the blobs + the PURE unpack fn: the caller fuses the
         # unpack into its own jitted dispatch (e.g. the LM loop), removing
@@ -267,7 +358,6 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(unpack)
     return _JIT_CACHE[key](*args)
-
 
 class BlockSolverEngine:
     """Owns device constants + compiled functions for one problem structure."""
@@ -297,32 +387,36 @@ class BlockSolverEngine:
         ) and dt == jnp.float32
         self.mxu_interpret = mode == "interpret"
 
-        # dispatch the plan-INDEPENDENT float constants (state, cams,
-        # measurement/omega rows) before the host planning pass: the ~8MB
-        # tunnel transfer overlaps plan_mxu's ~150ms of NumPy/C++ work
-        early_dev = None
-        early_map = {}
+        # dispatch the plan-INDEPENDENT constants — state, cams, the
+        # transposed measurement/omega rows AND the big structure-derived
+        # int index tables (incl. the Schur triplet ids, which the C++
+        # symbolic pass already computed) — packed into ONE int32 blob
+        # BEFORE the host planning pass: its ~0.2s tunnel transfer overlaps
+        # plan_mxu + the residual constant packing below.
+        early = None
+        early_avail = {}
+        sc_early = None
         if want_mxu and dt == np.float32:
             gm, gs = mxu.guess_e_pads(s)
+            if config.solver != "pcg":
+                sc_early = mxu.plan_schur_for(s)
             fl = mxu.rows_float_arrays(s, gm, gs)
-            early_items = [
-                ("qs", np.asarray(s.qs, dt)),
-                ("ts", np.asarray(s.ts, dt)),
-                ("Xws", np.asarray(s.Xws, dt)),
-                ("cams", np.asarray(s.cams, dt)),
-                ("measT_m", fl["measT_m"]),
-                ("measT_s", fl["measT_s"]),
-                ("omegaT_m", fl["omegaT_m"]),
-                ("omegaT_s", fl["omegaT_s"]),
+            eitems = [
+                ("qs", np.asarray(s.qs, dt), 0),
+                ("ts", np.asarray(s.ts, dt), 0),
+                ("Xws", np.asarray(s.Xws, dt), 0),
+                ("cams", np.asarray(s.cams, dt), 0),
+                ("measT_m", fl["measT_m"], 0),
+                ("measT_s", fl["measT_s"], 0),
+                ("omegaT_m", fl["omegaT_m"], 0),
+                ("omegaT_s", fl["omegaT_s"], 0),
+            ] + [
+                (name, _narrow16(a), pv)
+                for name, (a, pv) in mxu.early_int_arrays(s, gm, gs, sc_early).items()
             ]
-            off = 0
-            for name, a in early_items:
-                early_map[name] = _EarlyRef(off, a.shape)
-                off += a.size
-            early_dev = jax.device_put(
-                np.concatenate([a.ravel() for _, a in early_items])
-            )
-            self._early_pads = (gm, gs)
+            eblob, emeta = _pack_group([(n, a) for n, a, _pv in eitems])
+            early = (jax.device_put(eblob), emeta)
+            early_avail = {n: (a.shape, pv) for n, a, _pv2 in eitems for pv in [_pv2]}
 
         self.mxu_plans = None
         mxu_consts = None
@@ -330,7 +424,8 @@ class BlockSolverEngine:
             # PCG never materializes the Schur complement: skip the
             # multiplication-triplet + dense-formation planning entirely
             plans, mxu_consts = mxu.plan_mxu(
-                s, self.pad_blocks, need_dense=config.solver != "pcg"
+                s, self.pad_blocks, need_dense=config.solver != "pcg",
+                sc=sc_early,
             )
             if plans.ok:
                 self.mxu_plans = plans
@@ -341,29 +436,30 @@ class BlockSolverEngine:
         # (solver/edgerows.py); falls back to the AoS residual path when the
         # pose table is too large for the resident gather
         self.use_rows = self.use_mxu and self.mxu_plans.rows_ok
-        # keep the early refs only if the planning fixpoint kept the guessed
-        # paddings (it virtually always does); otherwise upload normally
-        use_early = (
-            early_dev is not None
-            and self.use_mxu
-            and getattr(self, "_early_pads", None)
-            == (self.mxu_plans.e_pad_m, self.mxu_plans.e_pad_s)
-        )
-        if not use_early:
-            early_dev, early_map = None, {}
+
+        def eref(name, cur):
+            """_EarlyRef for a leaf whose early part is a usable prefix of
+            the planned array `cur`; None -> ship it in the main blob."""
+            if name not in early_avail:
+                return None
+            src_shape, pad_val = early_avail[name]
+            cur = np.asarray(cur)
+            if cur.size <= 1 and tuple(cur.shape) != tuple(src_shape):
+                return None  # dummy on this path — keep as-is
+            if cur.ndim != len(src_shape) or any(
+                ss > cs for ss, cs in zip(src_shape, cur.shape)
+            ):
+                return None  # plan shrank below the guess (never in practice)
+            return _EarlyRef(name, src_shape, cur.shape, pad_val)
+
         # build the whole constant set as NumPy, then upload in ONE
         # device_put: each separate transfer costs ~30ms of tunnel latency
         # (docs/PERF_NOTES.md) and there are ~40 arrays here.
-        if use_early:
-            state_np = State(
-                qs=early_map["qs"], ts=early_map["ts"], Xws=early_map["Xws"]
-            )
-        else:
-            state_np = State(
-                qs=np.asarray(s.qs, dt),
-                ts=np.asarray(s.ts, dt),
-                Xws=np.asarray(s.Xws, dt),
-            )
+        state_np = State(
+            qs=eref("qs", s.qs) or np.asarray(s.qs, dt),
+            ts=eref("ts", s.ts) or np.asarray(s.ts, dt),
+            Xws=eref("Xws", s.Xws) or np.asarray(s.Xws, dt),
+        )
         # the XLA-path constants (SchurConsts triplets, per-edge Hpl slots,
         # and — on the rows front end — the whole AoS edge set) are ~25MB at
         # kitti00 scale and never traced when the fast paths are active —
@@ -373,13 +469,21 @@ class BlockSolverEngine:
         opt = (lambda a: dummy) if self.use_mxu else (lambda a: np.asarray(a, idt))
         ropt = (lambda a, t=dt: np.asarray(a, t)) if not self.use_rows else (
             lambda a, t=dt: dummy if t == idt else dummy_f)
-        if use_early and self.use_rows:
-            mxu_consts = mxu_consts._replace(
-                measT_m=early_map["measT_m"], measT_s=early_map["measT_s"],
-                omegaT_m=early_map["omegaT_m"], omegaT_s=early_map["omegaT_s"],
-            )
+        if mxu_consts is not None:
+            upd = {}
+            for name in (
+                "measT_m", "measT_s", "omegaT_m", "omegaT_s",
+                "e2h_m", "e2h_s", "hpl_row", "hpl_col",
+                "pose_gid_m", "pose_gid_s", "pose_gidr_m", "pose_gidr_s",
+                "sc_lij", "sc_lk",
+            ):
+                r = eref(name, getattr(mxu_consts, name))
+                if r is not None:
+                    upd[name] = r
+            if upd:
+                mxu_consts = mxu_consts._replace(**upd)
         consts_np = Consts(
-            cams=early_map["cams"] if use_early else np.asarray(s.cams, dt),
+            cams=eref("cams", s.cams) or np.asarray(s.cams, dt),
             mono=EdgeConsts(
                 meas=ropt(s.mono.measurements),
                 omega=ropt(s.mono.omegas),
@@ -405,6 +509,7 @@ class BlockSolverEngine:
             ),
             mxu=mxu_consts,
         )
+        self._early = early
         if self.use_mxu:
             # expand the wire-compressed index tables on device in the same
             # jitted dispatch as the unpack (mxu.derive_consts docstring)
@@ -423,7 +528,7 @@ class BlockSolverEngine:
         # tunnel round trip), and .state/.consts materialize lazily for the
         # phase-split/profiling/test paths
         self._blobs, self._unpack, self._unpack_key = _packed_device_put(
-            (state_np, consts_np), transform, tkey, early=early_dev, defer=True
+            (state_np, consts_np), transform, tkey, early=early, defer=True
         )
         self._state_cache = None
         self._consts_cache = None

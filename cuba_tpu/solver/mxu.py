@@ -158,6 +158,122 @@ class MXUConsts(NamedTuple):
     wb_rg_s: jnp.ndarray = np.zeros(1, np.int32)
 
 
+def plan_schur_for(s: BAStructure):
+    """The Schur chunk plan for a structure — cheap when the C++ symbolic
+    pass precomputed it (structure.schur_native), so the engine can build
+    the Schur id tables BEFORE plan_mxu and ship them in the early blob."""
+    return segmm.plan_schur(
+        s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc, precomputed=s.schur_native
+    )
+
+
+def pose_ranks(s: BAStructure) -> np.ndarray:
+    """Rank every pose (active AND fixed) by its first observation in the
+    locality-ordered edge stream — the windowed residual gather's column
+    order (structure-only; shared by plan_mxu and the early upload)."""
+    total_p = int(s.qs.shape[0])
+    allp = np.concatenate(
+        [np.asarray(s.mono.pose_idx, np.int64), np.asarray(s.stereo.pose_idx, np.int64)]
+    )
+    first = np.full(total_p, np.int64(1) << 60)
+    np.minimum.at(first, allp, np.arange(allp.size, dtype=np.int64))
+    rorder = np.argsort(first, kind="stable")  # gather column -> pose idx
+    prank = np.empty(total_p, np.int64)
+    prank[rorder] = np.arange(total_p)
+    return prank
+
+
+def pack_schur_ids(sc) -> Tuple[str, dict]:
+    """Wire-pack the schur local-id streams (li, lj, lk) into one int32
+    per triplet when they fit (tunnel ~90MB/s): 3-way li|lj|lk when compact
+    kwin keeps lk < 254, else 2-way li|lj with lk riding int16.  Returns
+    (mode, {field: array}) — shared by plan_mxu and the early upload so
+    both make the IDENTICAL packing decision for the same plan."""
+    dummy = np.zeros(1, np.int32)
+    if sc is None:
+        return "none", {"sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
+                        "sc_lk": dummy}
+    li32 = np.asarray(sc.li, np.int32)
+    lj32 = np.asarray(sc.lj, np.int32)
+    lk32 = np.asarray(sc.lk, np.int32)
+
+    def narrow(a):
+        a = np.asarray(a)
+        if a.size == 0 or (a.min() >= -32768 and a.max() <= 32767):
+            return a.astype(np.int16)
+        return a.astype(np.int32)
+
+    pack3 = bool(
+        li32.size
+        and li32.max() < 1022 and lj32.max() < 1022 and lk32.max() < 254
+        and li32.min() >= -1 and lj32.min() >= -1 and lk32.min() >= -1
+    )
+    pack2 = not pack3 and bool(
+        li32.size and li32.max() < 32767 and lj32.max() < 32767
+        and li32.min() >= -1 and lj32.min() >= -1
+    )
+    if pack3:
+        return "p3", {
+            "sc_lij": ((li32 + 1) << 19) | ((lj32 + 1) << 8) | (lk32 + 1),
+            "sc_li": dummy, "sc_lj": dummy, "sc_lk": dummy,
+        }
+    if pack2:
+        return "p2", {
+            "sc_lij": ((li32 + 1) << 16) | (lj32 + 1),
+            "sc_li": dummy, "sc_lj": dummy,
+            "sc_lk": narrow(lk32) if lk32.size else dummy,
+        }
+    return "none", {
+        "sc_lij": dummy,
+        "sc_li": narrow(li32) if li32.size else dummy,
+        "sc_lj": narrow(lj32) if lj32.size else dummy,
+        "sc_lk": narrow(lk32) if lk32.size else dummy,
+    }
+
+
+def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
+    """The big plan-INDEPENDENT int index tables, built at the guessed edge
+    paddings so the engine can pack + dispatch them before plan_mxu runs
+    (the ~0.2s tunnel transfer then overlaps the planning pass).  Content
+    must equal the prefix of the corresponding plan_mxu table; the traced
+    unpack pads the tail with each table's pad value (-1).
+
+    Returns {name: (array, pad_val)}."""
+    Em, Es = s.mono.count, s.stereo.count
+    n_hpl = s.n_hpl
+    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc is not None else 1024)
+
+    def pad_ids(ids, n, valid_mask=None):
+        out = np.full(n, -1, np.int32)
+        v = np.asarray(ids, np.int64)
+        if valid_mask is None:
+            out[: v.size] = v
+        else:
+            out[: v.size] = np.where(valid_mask, v, -1)
+        return out
+
+    prank = pose_ranks(s)
+    out = {
+        "e2h_m": pad_ids(s.edge2hpl[:Em], e_pad_m, s.edge2hpl[:Em] < n_hpl),
+        "e2h_s": pad_ids(s.edge2hpl[Em:], e_pad_s, s.edge2hpl[Em:] < n_hpl),
+        "hpl_row": pad_ids(s.hpl_row, hpl_pad),
+        "hpl_col": pad_ids(s.hpl_col, hpl_pad),
+        "pose_gid_m": pad_ids(s.mono.pose_idx, e_pad_m),
+        "pose_gid_s": pad_ids(s.stereo.pose_idx, e_pad_s),
+        "pose_gidr_m": pad_ids(prank[np.asarray(s.mono.pose_idx, np.int64)], e_pad_m),
+        "pose_gidr_s": pad_ids(prank[np.asarray(s.stereo.pose_idx, np.int64)], e_pad_s),
+    }
+    if sc is not None:
+        _mode, ids = pack_schur_ids(sc)
+        if ids["sc_lij"].size > 1:
+            out["sc_lij"] = (ids["sc_lij"], 0)
+        if ids["sc_lk"].size > 1:
+            out["sc_lk"] = (ids["sc_lk"], 0)
+    return {
+        k: (v if isinstance(v, tuple) else (v, -1)) for k, v in out.items()
+    }
+
+
 def guess_e_pads(s: BAStructure) -> Tuple[int, int]:
     """The edge paddings plan_mxu almost always settles on (its fixpoint
     iteration rarely grows them) — lets the engine pack and dispatch the
@@ -184,7 +300,7 @@ def rows_float_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int) -> dict:
 
 
 def plan_mxu(
-    s: BAStructure, pad_blocks: int = 0, need_dense: bool = True
+    s: BAStructure, pad_blocks: int = 0, need_dense: bool = True, sc=None
 ) -> Tuple[MXUPlans, Optional[MXUConsts]]:
     """Build all window plans + padded device constants.  Host, once.
 
@@ -213,12 +329,8 @@ def plan_mxu(
     Em, Es = s.mono.count, s.stereo.count
     # pass int32 straight through: the C++ planner consumes int32 and the
     # int64 round trip cost ~80ms of pure conversion at kitti00 scale
-    sc = (
-        segmm.plan_schur(s.mul_i, s.mul_j, s.mul_k, n_hpl, s.n_hsc,
-                         precomputed=s.schur_native)
-        if need_dense
-        else None
-    )
+    if sc is None and need_dense:
+        sc = plan_schur_for(s)
     e_pad_m = max(_round_up(Em, 1024), 1024)
     e_pad_s = max(_round_up(Es, 1024), 1024)
     hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc else 1024)
@@ -342,14 +454,10 @@ def plan_mxu(
     # windowed residual gather: rank every pose (active AND fixed) by its
     # first observation in the locality-ordered edge stream, so each chunk's
     # gather ids form a narrow band over the permuted source table
-    allp = np.concatenate(
-        [np.asarray(s.mono.pose_idx, np.int64), np.asarray(s.stereo.pose_idx, np.int64)]
-    )
-    first = np.full(total_p, np.int64(1) << 60)
-    np.minimum.at(first, allp, np.arange(allp.size, dtype=np.int64))
-    rorder = np.argsort(first, kind="stable")  # gather column -> pose idx
-    prank = np.empty(total_p, np.int64)
-    prank[rorder] = np.arange(total_p)
+    # (pose_ranks — shared with the early-upload path)
+    prank = pose_ranks(s)
+    rorder = np.empty(total_p, np.int64)
+    rorder[prank] = np.arange(total_p)  # gather column -> pose idx
     pose_gidr_m = pad_ids(prank[np.asarray(s.mono.pose_idx, np.int64)], e_pad_m)
     pose_gidr_s = pad_ids(prank[np.asarray(s.stereo.pose_idx, np.int64)], e_pad_s)
     rg_m = segmm.plan_accum_windows(pose_gidr_m, total_p, max_win=1024)
@@ -453,39 +561,15 @@ def plan_mxu(
     # int32 when they fit 15 bits, and skip the gated acc tables when the
     # rows front end uploads the ungated gids anyway (engine.derive_consts
     # expands both on device).
-    if sc is None:  # PCG: no Schur triplet constants at all
-        li32 = lj32 = lk32 = np.zeros(0, np.int32)
-        sc_sb_c = dummy
-    else:
-        li32 = np.asarray(sc.li, np.int32)
-        lj32 = np.asarray(sc.lj, np.int32)
-        lk32 = np.asarray(sc.lk, np.int32)
-        sc_sb_c = np.asarray(sc.sb, i32)
-    # 3-way pack li(11b)|lj(11b)|lk(8b) when compact kwin keeps lk < 254
-    # (typical: slot_block 512 -> locals < 1024, v2 kwin 128); fall back to
-    # the 2-way li|lj pack with lk riding int16 otherwise
-    pack3 = bool(
-        li32.size
-        and li32.max() < 1022 and lj32.max() < 1022 and lk32.max() < 254
-        and li32.min() >= -1 and lj32.min() >= -1 and lk32.min() >= -1
-    )
-    pack_sc = not pack3 and bool(
-        li32.size and li32.max() < 32767 and lj32.max() < 32767
-        and li32.min() >= -1 and lj32.min() >= -1
-    )
-    sc_lk_c = narrow(lk32) if lk32.size else dummy
-    if pack3:
-        sc_lij = ((li32 + 1) << 19) | ((lj32 + 1) << 8) | (lk32 + 1)
-        sc_li = sc_lj = sc_lk_c = dummy
-        plans.sc_pack = "p3"
-    elif pack_sc:
-        sc_lij = ((li32 + 1) << 16) | (lj32 + 1)
-        sc_li = sc_lj = dummy
-        plans.sc_pack = "p2"
-    else:
-        sc_lij = dummy
-        sc_li = narrow(li32) if li32.size else dummy
-        sc_lj = narrow(lj32) if lj32.size else dummy
+    sc_sb_c = np.asarray(sc.sb, i32) if sc is not None else dummy
+    # 3-way pack li(11b)|lj(11b)|lk(8b) when compact kwin keeps lk < 254,
+    # 2-way li|lj with lk riding int16 otherwise (pack_schur_ids — shared
+    # with the early-upload path so both make the identical decision)
+    plans.sc_pack, _scids = pack_schur_ids(sc)
+    sc_lij = _scids["sc_lij"]
+    sc_li = _scids["sc_li"]
+    sc_lj = _scids["sc_lj"]
+    sc_lk_c = _scids["sc_lk"]
 
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
