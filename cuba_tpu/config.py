@@ -48,6 +48,13 @@ class BAConfig:
       pcg_max_iterations / pcg_tol: PCG stopping controls.
       pose_block_pad: pad the dense reduced system to a multiple of this
         (128 aligns with the MXU lane count).
+      phase_attribution: populate the reference's 8-phase TimeProfile from
+        normal (fused) ``optimize()`` runs.  The fused device loop cannot be
+        timed per phase from the host, so the first ``time_profile()`` call
+        runs a one-time per-phase calibration (cached per compiled problem
+        spec) and distributes each fused run's measured wall time across
+        phases by the calibrated ratios.  Exact per-phase host timing is
+        still available via ``optimize(n, profile=True)``.
       mesh: a ``jax.sharding.Mesh`` with a ``"landmarks"`` axis to run the
         optimizer multi-chip (landmark-sharded assembly, sparse Hsc-block
         all-reduce over ICI — cuba_tpu/parallel/sharding.py).  ``None``
@@ -69,6 +76,7 @@ class BAConfig:
     pcg_max_iterations: int = 250
     pcg_tol: float = 1e-10
     pose_block_pad: int = 128
+    phase_attribution: bool = True
     mesh: Optional[object] = None  # jax.sharding.Mesh with a "landmarks" axis
 
     def resolve_dtype(self):

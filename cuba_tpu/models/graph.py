@@ -57,6 +57,7 @@ class BundleAdjustment:
         self._state: Optional[State] = None
         self._stats = []
         self._time_profile = {k: 0.0 for k in PROFILE_ITEMS}
+        self._pending_attr = []
         self._chi_sqs: Dict[BaseEdge, float] = {}
 
     # --- graph construction (cpp:681-764) --------------------------------
@@ -169,6 +170,7 @@ class BundleAdjustment:
             self._mono_edges,
             self._stereo_edges,
         )
+        t_structure = time.perf_counter() - t0
         if self.config.mesh is not None:
             from cuba_tpu.parallel.sharding import MultiChipSolverAdapter
 
@@ -183,7 +185,16 @@ class BundleAdjustment:
         self._state = None
         self._stats = []
         self._time_profile = {k: 0.0 for k in PROFILE_ITEMS}
-        self._time_profile["0: Initialize Optimizer"] = time.perf_counter() - t0
+        # phase split mirrors the reference's initialize
+        # (cuda_bundle_adjustment.cpp:115-261): graph->arrays compilation is
+        # "Build Structure", solver construction/upload is "Initialize
+        # Optimizer".  "5: Symbolic Decomposition" stays 0 by design: the
+        # dense blocked Cholesky has no symbolic pass (SURVEY.md §6).
+        self._time_profile["1: Build Structure"] = t_structure
+        self._time_profile["0: Initialize Optimizer"] = (
+            time.perf_counter() - t0 - t_structure
+        )
+        self._pending_attr = []
 
     def optimize(self, niterations: int, profile: bool = False) -> None:
         """Run the LM loop.  With profile=True, uses the host-stepped driver
@@ -204,11 +215,13 @@ class BundleAdjustment:
         chis = np.asarray(result.chis)[:n]
         self._stats = [BatchInfo(i, float(c)) for i, c in enumerate(chis)]
         if not profile:
-            # fused loop cannot split phases; report the total under a
-            # dedicated key plus the reference keys left at 0
+            # exact measured total under a dedicated key; the reference
+            # phase keys are filled lazily by time_profile() via the
+            # per-spec calibration (config.phase_attribution)
             self._time_profile["optimize (fused device loop)"] = (
                 self._time_profile.get("optimize (fused device loop)", 0.0) + total
             )
+            self._pending_attr.append((total, n, int(result.nattempts)))
 
         self._finalize()
         self._update_chi_squares()
@@ -252,6 +265,7 @@ class BundleAdjustment:
         self._stats = []
         self._engine = None
         self._state = None
+        self._pending_attr = []
 
     # --- checkpoint / resume ----------------------------------------------
     # New capability vs the reference, which only push/pops LM trial state
@@ -304,6 +318,25 @@ class BundleAdjustment:
         return self._stats
 
     def time_profile(self):
+        """Reference 8-phase TimeProfile (cuda_bundle_adjustment.cpp:545-562).
+
+        After a normal (fused) ``optimize()``, the per-phase entries are
+        measured-ratio attributions: the first call runs a one-time
+        per-phase calibration (cached per compiled problem spec, may JIT a
+        few phase kernels) and splits each fused run's measured wall time
+        by the calibrated ratios; the exact total stays under
+        "optimize (fused device loop)".  ``optimize(n, profile=True)``
+        gives host-timed exact phases instead."""
+        pending = getattr(self, "_pending_attr", None)
+        if (
+            pending
+            and self.config.phase_attribution
+            and hasattr(self._engine, "attribute_phases")
+        ):
+            for total, n, natt in pending:
+                for k, v in self._engine.attribute_phases(total, n, natt).items():
+                    self._time_profile[k] += v
+            self._pending_attr = []
         return self._time_profile
 
     def chi_squared(self, e: BaseEdge) -> float:

@@ -69,6 +69,9 @@ class Consts(NamedTuple):
     mxu: object = None  # Optional[mxu.MXUConsts] on the MXU fast path
 
 
+_PHASE_CALIB_CACHE: dict = {}
+
+
 class LMResult(NamedTuple):
     state: State
     chis: jnp.ndarray  # [niterations] F after each outer iteration
@@ -897,6 +900,128 @@ class BlockSolverEngine:
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(self._make_lm_run(niterations))
         return _JIT_CACHE[key](state, self.consts)
+
+    # ------------------------------------------------------------------
+    # fused-path phase attribution (reference 8-phase TimeProfile from a
+    # normal optimize() — cuda_bundle_adjustment.cpp:545-562 prints this
+    # table after every run; the fused device loop cannot be host-timed
+    # per phase, so per-phase costs are calibrated once per compiled spec
+    # and each run's measured total is distributed by those ratios)
+    # ------------------------------------------------------------------
+
+    def _schur_part(self, sys, lam, consts):
+        """The Schur-complement stage of :meth:`_solve` in isolation —
+        used only by phase calibration (reference phase '4: Schur
+        Complement').  Returns a scalar depending on every stage output so
+        XLA cannot dead-code-eliminate the non-opaque (XLA-path) ops."""
+        s = self.structure
+        dt = self.dtype
+        if self.use_mxu:
+            HppT, HllT, HplT = sys
+            plans, mc = self.mxu_plans, consts.mxu
+            interp = self.mxu_interpret
+            iv9, W, bscT, g12 = mxu.prepare_factors_mxu(
+                HppT, HllT, HplT, lam, self.num_p, self.num_l, plans, mc,
+                interpret=interp,
+            )
+            dep = iv9.ravel()[0] + W.ravel()[0] + bscT.ravel()[0] + g12.ravel()[0]
+            if self.config.solver == "pcg":
+                return dep
+            Dm = mxu.schur_dense_mxu(
+                HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
+                interpret=interp,
+            )
+            return dep + Dm[0, 0]
+        Hpp, bp, Hll, bl, Hpl = sys
+        if not (s.optimize_p and s.optimize_l):
+            return jnp.zeros((), dt)
+        Hll_d = assembly.damp(Hll, lam)
+        invHll, W, bsc = schur.prepare_factors(bp, Hll_d, bl, Hpl, consts.sc, self.num_p)
+        dep = invHll.ravel()[0] + W.ravel()[0] + bsc.ravel()[0]
+        if self.config.solver == "pcg":
+            return dep
+        Hpp_d = assembly.damp(Hpp, lam)
+        Dm = schur.assemble_dense(Hpp_d, W, Hpl, consts.sc, self.num_p, self.pad_blocks)
+        return dep + Dm[0, 0]
+
+    def phase_calibration(self):
+        """Per-phase device seconds, measured once per compiled spec.
+
+        Returns {resid, chi, build, schur, solve, apply}: wall seconds of
+        one call to each jitted phase function (best of 2, fenced by a
+        4-byte scalar read — docs/PERF_NOTES.md tunnel hygiene).  The
+        functions are the same ones optimize_profiled uses, so the
+        compile cost is shared and cached."""
+        key = ("phase_calib",) + self._spec
+        hit = _PHASE_CALIB_CACHE.get(key)
+        if hit is not None:
+            return hit
+        st, co = self.state, self.consts
+        residuals = self._get_jit("residuals", self._residuals_and_chi)
+        chi_only = self._get_jit("chi_only", self._chi_only)
+        build = self._get_jit("build", self._build)
+        maxdiag = self._get_jit("maxdiag", self._max_diag)
+        solve = self._get_jit("solve", self._solve)
+        applyu = self._get_jit("apply", self._apply_update)
+        schurp = self._get_jit("schur_part", self._schur_part)
+
+        def fence(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.ravel(leaf)[0])
+
+        def timed(fn, *a):
+            out = fn(*a)  # compile + first run
+            fence(out)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = fn(*a)
+                fence(out)
+                best = min(best, time.perf_counter() - t0)
+            return best, out
+
+        t_resid, r = timed(residuals, st, co)
+        err2, Xc2, err3, Xc3, _ = r
+        t_chi, _ = timed(chi_only, st, co)
+        t_build, sys = timed(build, st, co, err2, Xc2, err3, Xc3)
+        lam = self.dtype.type(self.config.tau) * maxdiag(sys).astype(self.dtype)
+        t_schur, _ = timed(schurp, sys, lam, co)
+        t_solve, sol = timed(solve, sys, lam, co)
+        xp, xl, _ = sol
+        t_apply, _ = timed(applyu, st, xp, xl)
+        calib = {
+            "resid": t_resid,
+            "chi": t_chi,
+            "build": t_build,
+            "schur": t_schur,
+            "solve": t_solve,
+            "apply": t_apply,
+        }
+        _PHASE_CALIB_CACHE[key] = calib
+        return calib
+
+    def attribute_phases(self, total_s: float, niters: int, nattempts: int):
+        """Distribute a fused run's measured wall seconds across the
+        reference phases using the calibrated per-call ratios.
+
+        Per outer iteration: one residual+chi pass and one build; per
+        damped attempt: one solve (Schur + factorization), one trial-chi,
+        one update.  '5: Symbolic Decomposition' stays 0 by design — the
+        dense blocked Cholesky needs no symbolic pass (SURVEY.md §6; the
+        reference spends 353.8 ms there, BASELINE.md)."""
+        c = self.phase_calibration()
+        n = max(int(niters), 1)
+        a = max(int(nattempts), n)
+        raw = {
+            "2: Compute Error": n * c["resid"] + a * c["chi"],
+            "3: Build System": n * c["build"],
+            "4: Schur Complement": a * c["schur"],
+            "6: Numerical Decomposition": a * max(c["solve"] - c["schur"], 0.0),
+            "7: Update Solution": a * c["apply"],
+        }
+        s = sum(raw.values())
+        scale = total_s / s if s > 0 else 0.0
+        return {k: v * scale for k, v in raw.items()}
 
     # ------------------------------------------------------------------
     # phase-split driver (host-stepped; produces the 8-phase TimeProfile)

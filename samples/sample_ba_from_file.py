@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--poses", type=int, default=100)
     ap.add_argument("--landmarks", type=int, default=2000)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--profiled",
+        action="store_true",
+        help="host-stepped driver with exact per-phase timing (slower); "
+        "default is the fused device loop + calibrated phase attribution",
+    )
     ap.add_argument("--fp64", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
@@ -54,16 +60,17 @@ def main():
     print(f"num landmarks  : {ba.nlandmarks()}")
     print(f"num edges      : {ba.nedges()}")
 
-    # warm-up (excluded from timing, like the reference sample)
+    # warm-up (excluded from timing, like the reference sample; same
+    # iteration count — the fused loop's chi buffer is shaped by it)
     ba.initialize()
-    ba.optimize(1)
+    ba.optimize(1 if args.profiled else args.iters)
 
     ba = load()
     ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
     ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(7.815)), EdgeType.STEREO)
     t0 = time.perf_counter()
     ba.initialize()
-    ba.optimize(args.iters, profile=True)
+    ba.optimize(args.iters, profile=args.profiled)
     elapsed = time.perf_counter() - t0
 
     print("=== Time profile ===")
