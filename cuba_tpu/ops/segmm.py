@@ -668,7 +668,7 @@ def schur_fused_xla(W, G, mul_i, mul_j, mul_k, n_hsc):
     Gg = G[:, mul_j]
     Wr = Wg.reshape(6, 3, -1)
     Gr = Gg.reshape(6, 3, -1)
-    prod = jnp.einsum("akt,bkt->abt", Wr, Gr).reshape(36, -1)
+    prod = jnp.einsum("akt,bkt->abt", Wr, Gr, precision="highest").reshape(36, -1)
     return jax.ops.segment_sum(prod.T, mul_k, num_segments=n_hsc).T
 
 

@@ -316,15 +316,16 @@ class MultiChipEngine:
                 eye3 = jnp.eye(3, dtype=dt)
                 Hll_d = jnp.where(lm_active[:, :, None], Hll_d, eye3)
                 invHll = smallmat.sym3x3_inv(Hll_d)
-                W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col])
-                Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col])
+                W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col], precision="highest")
+                Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col], precision="highest")
                 bsc_local = -jax.ops.segment_sum(Wbl, hpl_row, num_segments=num_p)
                 # triplet products segment-summed into the SPARSE Hsc block
                 # table; pad triplets carry mul_k == n_hsc and drop out.  The
                 # all-reduce moves 36*n_hsc floats (~1.7 MB at kitti00 scale)
                 # instead of the padded dense image (~285 MB).
                 prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
-                                  Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)])
+                                  Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)],
+                                  precision="highest")
                 pad_t = (mul_i >= n_hpl_pad)[:, None, None]
                 prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
                 blocks = jax.ops.segment_sum(
@@ -353,9 +354,9 @@ class MultiChipEngine:
                 x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
                 xp = x[: 6 * num_p].reshape(num_p, 6)
                 # local back-substitution
-                contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row])
+                contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row], precision="highest")
                 cl = bl - jax.ops.segment_sum(contrib, hpl_col, num_segments=num_l_pad)
-                xl = jnp.einsum("kij,kj->ki", invHll, cl)
+                xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
                 xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
                 return xp, xl, ok, bsc
 

@@ -89,12 +89,12 @@ def quadratic_form_terms(
 
     JP, JL = jacobians.compute(Xc, q, cam, mdim)
     wJP = w[:, None, None] * JP
-    Hpp_e = jnp.einsum("eki,ekj->eij", wJP, JP)
-    bp_e = jnp.einsum("eki,ek->ei", wJP, err)
+    Hpp_e = jnp.einsum("eki,ekj->eij", wJP, JP, precision="highest")
+    bp_e = jnp.einsum("eki,ek->ei", wJP, err, precision="highest")
     wJL = w[:, None, None] * JL
-    Hll_e = jnp.einsum("eki,ekj->eij", wJL, JL)
-    bl_e = jnp.einsum("eki,ek->ei", wJL, err)
-    Hpl_e = jnp.einsum("eki,ekj->eij", wJP, JL)
+    Hll_e = jnp.einsum("eki,ekj->eij", wJL, JL, precision="highest")
+    bl_e = jnp.einsum("eki,ek->ei", wJL, err, precision="highest")
+    Hpl_e = jnp.einsum("eki,ekj->eij", wJP, JL, precision="highest")
     return Hpp_e, bp_e, Hll_e, bl_e, Hpl_e
 
 

@@ -316,6 +316,12 @@ def plan_mxu(
     num_p, num_l, n_hpl = s.num_p, s.num_l, s.n_hpl
     if num_p == 0 or num_l == 0 or n_hpl == 0:
         return MXUPlans(False, 0, 0, 0, 0), None
+    if need_dense and pad_blocks % 128 != 0:
+        # the dense-formation occupancy maps tile PB into 64x128 blocks
+        raise ValueError(
+            f"pad_blocks must be a positive multiple of 128, got {pad_blocks} "
+            "(the engine rounds num_p up via engine._pad_blocks)"
+        )
 
     def pad_ids(ids, n, valid_mask=None):
         out = np.full(n, -1, np.int32)

@@ -39,16 +39,16 @@ class SchurOperator(NamedTuple):
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [P,6] -> Hsc x [P,6]."""
         a = jax.ops.segment_sum(
-            jnp.einsum("kij,ki->kj", self.Hpl, x[self.hpl_row]),
+            jnp.einsum("kij,ki->kj", self.Hpl, x[self.hpl_row], precision="highest"),
             self.hpl_col,
             num_segments=self.num_l,
         )  # Hpl^T x, per landmark column [L,3]
         y2 = jax.ops.segment_sum(
-            jnp.einsum("kij,kj->ki", self.W, a[self.hpl_col]),
+            jnp.einsum("kij,kj->ki", self.W, a[self.hpl_col], precision="highest"),
             self.hpl_row,
             num_segments=self.num_p,
         )
-        return jnp.einsum("pij,pj->pi", self.Hpp_d, x) - y2
+        return jnp.einsum("pij,pj->pi", self.Hpp_d, x, precision="highest") - y2
 
     def block_diagonal(self) -> jnp.ndarray:
         """Exact 6x6 block diagonal of Hsc (for the preconditioner)."""
@@ -72,7 +72,7 @@ def pcg_solve(
     Minv = jnp.linalg.inv(op.block_diagonal())  # [P,6,6]
 
     def apply_M(r):
-        return jnp.einsum("pij,pj->pi", Minv, r)
+        return jnp.einsum("pij,pj->pi", Minv, r, precision="highest")
 
     def dot(a, c):
         return jnp.sum(a * c)

@@ -41,8 +41,8 @@ def prepare_factors(
     """Shared Schur factors: (invHll [L,3,3], W = Hpl invHll [n_hpl,6,3],
     bsc = bp - W bl [P,6]).  Equivalent of computeBschureKernel (cu:933-953)."""
     invHll = smallmat.sym3x3_inv(Hll_d)
-    W = jnp.einsum("kij,kjl->kil", Hpl, invHll[sc.hpl_col])
-    Wbl = jnp.einsum("kij,kj->ki", W, bl[sc.hpl_col])
+    W = jnp.einsum("kij,kjl->kil", Hpl, invHll[sc.hpl_col], precision="highest")
+    Wbl = jnp.einsum("kij,kj->ki", W, bl[sc.hpl_col], precision="highest")
     bsc = bp - jax.ops.segment_sum(Wbl, sc.hpl_row, num_segments=num_p)
     return invHll, W, bsc
 
@@ -63,7 +63,7 @@ def assemble_dense(
     """
     dtype = Hpp_d.dtype
     n_hsc = sc.hsc_row.shape[0]
-    prod = jnp.einsum("tik,tjk->tij", W[sc.mul_i], Hpl[sc.mul_j])
+    prod = jnp.einsum("tik,tjk->tij", W[sc.mul_i], Hpl[sc.mul_j], precision="highest")
     blocks = jax.ops.segment_sum(prod, sc.mul_k, num_segments=n_hsc)
 
     D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
@@ -89,6 +89,6 @@ def back_substitute(
     num_l: int,
 ) -> jnp.ndarray:
     """xl = Hll^-1 (bl - Hpl^T xp), per landmark (cu:1029-1043)."""
-    contrib = jnp.einsum("kij,ki->kj", Hpl, xp[sc.hpl_row])  # Hpl^T xp per slot
+    contrib = jnp.einsum("kij,ki->kj", Hpl, xp[sc.hpl_row], precision="highest")  # Hpl^T xp per slot
     cl = bl - jax.ops.segment_sum(contrib, sc.hpl_col, num_segments=num_l)
-    return jnp.einsum("kij,kj->ki", invHll, cl)
+    return jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
