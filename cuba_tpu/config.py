@@ -41,8 +41,10 @@ class BAConfig:
       attenuation_min/max: clamp bounds for the accepted-step damping
         attenuation 1-(2*rho-1)^3 (cuda_bundle_adjustment.cpp:834,890-891).
       solver: reduced-system solver: "dense_cholesky" (default; padded dense
-        blocked Cholesky on the MXU) or "pcg" (block-Jacobi preconditioned
-        conjugate gradient, for very large pose counts).
+        blocked Cholesky on the MXU), "band_cr" (block-tridiagonal cyclic
+        reduction for band-certified pose graphs — odometry-style problems;
+        raises if the Schur pattern is not banded), or "pcg" (block-Jacobi
+        preconditioned conjugate gradient, for very large pose counts).
       refinement_steps: iterative-refinement sweeps after the Cholesky solve
         when running the fp32 fast path (residual accumulated in fp64).
       pcg_max_iterations / pcg_tol: PCG stopping controls.

@@ -1,0 +1,229 @@
+"""Block-tridiagonal cyclic-reduction solver for banded Schur complements.
+
+SLAM/odometry pose graphs are band-structured: after the locality reorder
+the Hsc block bandwidth at the reference's own benchmark scales is ~12
+pose blocks (kitti00-scale synthetic; scalar half-bandwidth 78 out of
+n=7926).  The dense Cholesky factors the full 6PB x 6PB matrix anyway —
+O(n^3) FLOPs and, worse on TPU, ~n/128 *sequential* panel steps.
+
+This module exploits the band the TPU-native way, playing the role the
+reference's sparse Cholesky + METIS ordering plays on GPU (reference:
+src/cuda_linear_solver.cpp:147-232, :342-348 — 74% of its runtime):
+
+* The band is packed into block-tridiagonal storage: D [m, B, B] diagonal
+  blocks and U [m, B, B] super-diagonal blocks (U[k] = A[k, k+1], B=384 =
+  64 pose blocks), so a half-bandwidth <= 64 pose blocks fits exactly.
+* Odd-even cyclic reduction eliminates all odd block rows per level:
+  log2(m) levels of *batched* 384^3 MXU matmuls + one batched inverse —
+  sequential depth ~log2(m) instead of n/128.  At m=22 that is 5 levels.
+* The factor (per-level transfer operators) is kept, so the iterative-
+  refinement re-solves are pure batched matvecs.
+
+Elimination order is a symmetric permutation of an SPD matrix, so every
+reduced system stays SPD and the recursion is unpivoted-stable; fp32
+noise is handled exactly like dense_cholesky.py: Jacobi equilibration,
+diagonal-boost retry on non-finite factors, iterative refinement against
+the undamped band operator, and ok=False -> LM step rejection (the
+reference's zero-pivot semantics, cuda_linear_solver.cpp:175-189).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# CR block: 384 = 64 pose blocks * 6 — MXU-aligned (3 x 128 lanes) AND a
+# multiple of 6, so 6x6 pose blocks never straddle a CR block boundary.
+B = 384
+POSES_PER_BLOCK = B // 6
+
+
+def usable(num_blocks: int) -> bool:
+    """CR needs >= 2 block rows to beat a direct solve."""
+    return num_blocks >= 2
+
+
+def certify(hsc_row, hsc_col, pad_blocks: int):
+    """Host-side band certification: the Schur block pattern fits the
+    block-tridiagonal storage iff every (row, col) pair lands in the same
+    or an adjacent CR block — guaranteed by half-bandwidth <= 64 pose
+    blocks.  Returns the CR block count m, or 0 if not banded."""
+    import numpy as np
+
+    if pad_blocks % POSES_PER_BLOCK != 0:
+        return 0
+    m = pad_blocks // POSES_PER_BLOCK
+    if m < 2 or len(hsc_row) == 0:
+        return 0
+    r = np.asarray(hsc_row, np.int64)
+    c = np.asarray(hsc_col, np.int64)
+    if int(np.abs(r - c).max()) > POSES_PER_BLOCK:
+        return 0
+    if int(np.abs(r // POSES_PER_BLOCK - c // POSES_PER_BLOCK).max()) > 1:
+        return 0
+    return m
+
+
+def from_dense(A: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slice block-tridiagonal storage (D, U) out of a dense [m*B, m*B]
+    matrix (bridging path: the band-certified dense formation)."""
+    D = jnp.stack([A[k * B : (k + 1) * B, k * B : (k + 1) * B] for k in range(m)])
+    U = jnp.stack(
+        [A[k * B : (k + 1) * B, (k + 1) * B : (k + 2) * B] for k in range(m - 1)]
+        + [jnp.zeros((B, B), A.dtype)]
+    )
+    return D, U
+
+
+def _inv_spd(M):
+    """Batched SPD inverse via Cholesky (batched over the leading dim)."""
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
+def factor(D: jnp.ndarray, U: jnp.ndarray):
+    """Cyclic-reduction factorization of the block-tridiagonal (D, U).
+
+    D: [m, B, B] diagonal blocks; U: [m, B, B] with U[k] = A[k, k+1]
+    (U[m-1] must be zero).  Returns the per-level transfer operators:
+    levels = tuple of (Dinv_o, Ue, Uo, R, L) and the inverted base system.
+    """
+    levels = []
+    b_dt = D.dtype
+    while D.shape[0] > 2:
+        m = D.shape[0]
+        ne, no = (m + 1) // 2, m // 2
+        De, Do = D[0::2], D[1::2]
+        Ue = U[0::2][:no]          # U[2t],   t < no
+        Uo = U[1::2]               # U[2t+1], count (m-1)//2 = ne-1
+        Dinv_o = _inv_spd(Do)      # [no, B, B]
+        R = Ue @ Dinv_o            # A[2t, 2t+1] D_{2t+1}^{-1}
+        L = jnp.swapaxes(U[1::2][: ne - 1], 1, 2) @ Dinv_o[: ne - 1]
+        # reduced diagonal: D'_t = D_2t - R U^T (right) - L U (left)
+        Dn = De.at[:no].add(-(R @ jnp.swapaxes(Ue, 1, 2)))
+        Dn = Dn.at[1:ne].add(-(L @ U[1::2][: ne - 1]))
+        # reduced super-diagonal: U'_t = -R_t U_{2t+1}, t < ne-1
+        Un = -(R[: ne - 1] @ Uo[: ne - 1])
+        Un = jnp.concatenate(
+            [Un, jnp.zeros((ne - (ne - 1), B, B), b_dt)], axis=0
+        )
+        levels.append((Dinv_o, Ue, Uo, R, L))
+        D, U = Dn, Un
+    # base: m <= 2 -> one dense [m*B, m*B] SPD solve
+    m = D.shape[0]
+    if m == 1:
+        base = _inv_spd(D[0])
+    else:
+        top = jnp.concatenate([D[0], U[0]], axis=1)
+        bot = jnp.concatenate([U[0].T, D[1]], axis=1)
+        base = _inv_spd(jnp.concatenate([top, bot], axis=0))
+    return tuple(levels), base
+
+
+def solve(levels, base, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b using a factor() result.  b, x: [m*B]."""
+    m0 = b.shape[0] // B
+    b_lv = [b.reshape(m0, B)]
+    for (Dinv_o, Ue, Uo, R, L) in levels:
+        bb = b_lv[-1]
+        m = bb.shape[0]
+        ne = (m + 1) // 2
+        no = m // 2
+        be, bo = bb[0::2], bb[1::2]
+        bn = be.at[:no].add(-(R @ bo[:, :, None])[:, :, 0])
+        bn = bn.at[1:ne].add(-(L @ bo[: ne - 1, :, None])[:, :, 0])
+        b_lv.append(bn)
+    x = (base @ b_lv[-1].reshape(-1)).reshape(-1, B)
+    for (Dinv_o, Ue, Uo, R, L), bb in zip(reversed(levels), reversed(b_lv[:-1])):
+        m = bb.shape[0]
+        no = m // 2
+        bo = bb[1::2]
+        # x_odd[t] = Dinv[t] (b_odd[t] - U[2t]^T x_e[t] - U[2t+1] x_e[t+1])
+        xe_r = jnp.concatenate([x[1:], jnp.zeros((1, B), x.dtype)], axis=0)
+        r = bo - (jnp.swapaxes(Ue, 1, 2) @ x[:no, :, None])[:, :, 0]
+        r = r - (Uo[:no] @ xe_r[:no, :, None])[:, :, 0]
+        xo = (Dinv_o @ r[:, :, None])[:, :, 0]
+        xn = jnp.zeros((m, B), x.dtype)
+        xn = xn.at[0::2].set(x[: (m + 1) // 2])
+        xn = xn.at[1::2].set(xo)
+        x = xn
+    return x.reshape(-1)
+
+
+def matvec(D: jnp.ndarray, U: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x for the block-tridiagonal (D, U).  x, y: [m*B]."""
+    m = D.shape[0]
+    xb = x.reshape(m, B)
+    y = (D @ xb[:, :, None])[:, :, 0]
+    xr = jnp.concatenate([xb[1:], jnp.zeros((1, B), x.dtype)], axis=0)
+    y = y + (U @ xr[:, :, None])[:, :, 0]
+    xl = jnp.concatenate([jnp.zeros((1, B), x.dtype), xb[:-1]], axis=0)
+    Ul = jnp.concatenate([jnp.zeros((1, B, B), x.dtype), U[:-1]], axis=0)
+    y = y + (jnp.swapaxes(Ul, 1, 2) @ xl[:, :, None])[:, :, 0]
+    return y.reshape(-1)
+
+
+def cr_solve(
+    D: jnp.ndarray,
+    U: jnp.ndarray,
+    b: jnp.ndarray,
+    refinement_steps: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the banded SPD system A x = b.  Returns (x, ok).
+
+    Same numerical contract as dense_cholesky.cholesky_solve: Jacobi
+    equilibration, diagonal-boost retry on a non-finite factor, fixed
+    refinement sweeps against the *original* operator, last-finite-iterate
+    keep, ok=False on a non-finite result (LM rejects the step).
+    """
+    m = D.shape[0]
+    d = jnp.diagonal(D, axis1=1, axis2=2)  # [m, B]
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, D.dtype)))
+    sr = jnp.concatenate([s[1:], jnp.ones((1, B), s.dtype)], axis=0)
+    Ds = D * s[:, :, None] * s[:, None, :]
+    Us = U * s[:, :, None] * sr[:, None, :]
+    sf = s.reshape(-1)
+
+    eyeB = jnp.eye(B, dtype=D.dtype)
+
+    if D.dtype == jnp.float32:
+
+        def boost_cond(c):
+            delta, lv, base, tries = c
+            bad = ~jnp.isfinite(jnp.sum(base))
+            for (Dinv_o, *_rest) in lv:
+                bad = bad | ~jnp.isfinite(jnp.sum(Dinv_o[-1]))
+            return bad & (tries < 4)
+
+        def boost_body(c):
+            delta, lv, base, tries = c
+            delta = jnp.where(delta == 0, jnp.float32(1e-5), delta * 32.0)
+            lv2, base2 = factor(Ds + delta * eyeB[None], Us)
+            return delta, lv2, base2, tries + 1
+
+        lv0, base0 = factor(Ds, Us)
+        _, levels, base, _ = jax.lax.while_loop(
+            boost_cond, boost_body, (jnp.float32(0.0), lv0, base0, jnp.int32(0))
+        )
+    else:
+        levels, base = factor(Ds, Us)
+
+    def solve_with(rhs):
+        return sf * solve(levels, base, rhs * sf)
+
+    x = solve_with(b)
+    for _ in range(refinement_steps):
+        r = b - matvec(D, U, x)
+        x2 = x + solve_with(r)
+        finite = jnp.isfinite(jnp.sum(x2))
+        x = jnp.where(finite, x2, x)
+
+    ok = jnp.all(jnp.isfinite(x))
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    return x, ok

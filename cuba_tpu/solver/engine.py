@@ -26,7 +26,7 @@ import numpy as np
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.ops import se3, smallmat
-from cuba_tpu.solver import assembly, dense_cholesky, mxu, pcg, schur, trisolve
+from cuba_tpu.solver import assembly, band_cr, dense_cholesky, mxu, pcg, schur, trisolve
 from cuba_tpu.solver.assembly import EdgeConsts
 from cuba_tpu.solver.schur import SchurConsts
 from cuba_tpu.solver.structure import BAStructure
@@ -376,6 +376,16 @@ class BlockSolverEngine:
         s = structure
         self.num_p, self.num_l = s.num_p, s.num_l
         self.pad_blocks = _pad_blocks(s.num_p)
+        # band certification (host): block-tridiagonal CR applies when the
+        # Schur pattern's half-bandwidth fits 64 pose blocks per CR block
+        self.band_m = band_cr.certify(s.hsc_row, s.hsc_col, self.pad_blocks)
+        if config.solver == "band_cr" and not self.band_m:
+            raise ValueError(
+                "solver='band_cr' requires a band-certified Schur pattern "
+                "(half-bandwidth <= 64 pose blocks after the locality "
+                "reorder); this problem is not banded — use "
+                "'dense_cholesky' or 'pcg'"
+            )
 
         dt = np.dtype(str(self.dtype))
         idt = np.int32
@@ -697,6 +707,20 @@ class BlockSolverEngine:
             ))
             n = 6 * self.pad_blocks
             rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
+            if self.config.solver == "band_cr":
+                # band-certified structure: block-tridiagonal cyclic
+                # reduction (solver/band_cr.py) — batched MXU matmuls with
+                # log2(m) sequential depth instead of the dense factor's
+                # n/128 panel chain
+                Db, Ub = band_cr.from_dense(Dm, self.band_m)
+                refine = self.config.refinement_steps if dt == jnp.float32 else 0
+                x, ok = OB(band_cr.cr_solve(Db, Ub, rhs, refine))
+                xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
+                xl = mxu.back_substitute_mxu(
+                    iv9, HllT, HplT, g12, xp, self.num_l, plans, mc,
+                    interpret=interp,
+                )
+                return xp, xl, ok
             refine = self.config.refinement_steps if dt == jnp.float32 else 0
             # Pallas blocked trisolve (solver/trisolve.py): one extra
             # refinement sweep compensates the inverted-diagonal-block
@@ -731,7 +755,11 @@ class BlockSolverEngine:
                 n = 6 * self.pad_blocks
                 rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bsc.reshape(-1))
                 refine = self.config.refinement_steps if dt == jnp.float32 else 0
-                x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+                if self.config.solver == "band_cr":
+                    Db, Ub = band_cr.from_dense(Dm, self.band_m)
+                    x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
+                else:
+                    x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
                 xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
             xl = schur.back_substitute(invHll, bl, Hpl, xp, consts.sc, self.num_l)
             return xp, xl, ok

