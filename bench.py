@@ -39,6 +39,12 @@ def main():
         "(chunked fp32/fp64 combine), trajectory matches to ~5e-7 rel",
     )
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument(
+        "--solver",
+        default="dense_cholesky",
+        choices=["dense_cholesky", "band_cr", "pcg"],
+        help="reduced-system solver (BAConfig.solver)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -100,7 +106,10 @@ def main():
         )
 
     kernels = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
-    config = BAConfig(dtype=jnp.float32 if args.dtype == "float32" else jnp.float64)
+    config = BAConfig(
+        dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
+        solver=args.solver,
+    )
 
     # --- warm-up (JIT compile; reference excludes its warm-up too) -------
     t0 = time.perf_counter()

@@ -880,6 +880,122 @@ def compact_to_dense(
       clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)
 
 
+def compact_to_band(
+    upT: jnp.ndarray,  # [36, PB*maxw] row-rank-major combined Hsc blocks
+    iru: jnp.ndarray,  # [PB*maxw] int32 block row per rank slot (-1 pad)
+    icu: jnp.ndarray,  # [PB*maxw] int32 block col per rank slot (-1 pad)
+    clT: jnp.ndarray,  # [36, PB*maxwc] col-rank-major combined Hsc blocks
+    ipc: jnp.ndarray,  # [PB*maxwc] int32 block col per col-rank slot (-1 pad)
+    irc: jnp.ndarray,  # [PB*maxwc] int32 block row per col-rank slot (-1 pad)
+    dbT: jnp.ndarray,  # [36, PB] damped diagonal blocks (identity on padding)
+    occ_band: jnp.ndarray,  # [m*2] int32: (k, e) band tile occupancy
+    PB: int,
+    maxw: int,
+    maxwc: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-tridiagonal storage straight from the compact rank-major block
+    tables — the band-certified sibling of :func:`compact_to_dense`.
+
+    Output [m*384, 768]: band tile (k, e) holds the dense 384x384 block
+    A[k, k+e] of the damped Schur complement (e=0: diagonal D_k; e=1:
+    super-diagonal U_k = A[k, k+1]).  Never materializes the dense
+    [6PB, 6PB] matrix: at kitti00 scale that is 2*m = 44 tiles (~13 MB)
+    instead of 285 MB.  The selection math is identical to
+    compact_to_dense with tile_p = tile_q = 64 pose blocks (384 = 64*6
+    scalars, so 6x6 pose blocks never straddle a CR block boundary).
+    Sign matches schur.assemble_dense: band = diag - (up + mirrors).
+    """
+    tile = 64
+    TT = tile * 6  # 384
+    M = PB // tile
+    Wu, Wc = tile * maxw, tile * maxwc
+    assert Wu % 128 == 0 and Wc % 128 == 0, (Wu, Wc)
+
+    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, ipc_ref, irc_ref,
+             db_ref, out_ref):
+        k = pl.program_id(0)
+        e = pl.program_id(1)
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(occ_ref[k * 2 + e] > 0)
+        def _():
+            rbase = k * tile
+            cbase = (k + e) * tile
+            iru_l = iru_ref[0, :] - rbase  # local row of up slots
+            icu_l = icu_ref[0, :] - cbase  # local col of up slots
+            ipc_l = ipc_ref[0, :] - rbase  # local row (block col) of mirrors
+            irc_l = irc_ref[0, :] - cbase  # local col (block row) of mirrors
+            mir_off_diag = irc_ref[0, :] != ipc_ref[0, :]
+
+            rr_u = jax.lax.broadcasted_iota(jnp.int32, (tile, Wu), 0)
+            cc_u = jax.lax.broadcasted_iota(jnp.int32, (Wu, tile), 1)
+            RowSel = (rr_u == iru_l[None, :]).astype(jnp.bfloat16)
+            ColSel = (cc_u == icu_l[:, None]).astype(jnp.float32)
+            rr_m = jax.lax.broadcasted_iota(jnp.int32, (tile, Wc), 0)
+            cc_m = jax.lax.broadcasted_iota(jnp.int32, (Wc, tile), 1)
+            MirSel = ((rr_m == ipc_l[None, :]) & mir_off_diag[None, :]).astype(jnp.bfloat16)
+            MirColSel = (cc_m == irc_l[:, None]).astype(jnp.float32)
+            # damped-diagonal injection: db slot s holds global block
+            # (k//2)*128 + s; the one-hot selection is naturally zero for
+            # e=1 (row and col pose ranges are disjoint there)
+            k_half = jax.lax.div(k, jnp.int32(2))
+            k_par = jax.lax.rem(k, jnp.int32(2))
+            ss_r = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+            pp_r = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 0)
+            DRowSel = (pp_r == ss_r - k_par * tile).astype(jnp.bfloat16)
+            ss_c = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+            qq_c = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 1)
+            DColSel = (qq_c == ss_c + k_half * 128 - cbase).astype(jnp.float32)
+
+            rp = jax.lax.broadcasted_iota(jnp.int32, (TT, tile), 0)
+            pp = jax.lax.broadcasted_iota(jnp.int32, (TT, tile), 1)
+            cq = jax.lax.broadcasted_iota(jnp.int32, (tile, TT), 1)
+            qq = jax.lax.broadcasted_iota(jnp.int32, (tile, TT), 0)
+            acc = jnp.zeros((TT, TT), jnp.float32)
+            for i in range(6):
+                Ri = (rp == 6 * pp + i).astype(jnp.float32)  # [TT, tile]
+                Bi = jnp.zeros((tile, TT), jnp.float32)
+                for j in range(6):
+                    vu = up_ref[i * 6 + j, :]   # [Wu]
+                    vm = cl_ref[j * 6 + i, :]   # [Wc] transposed mirror element
+                    x_ij = -_dot_rhs_split(RowSel, vu[:, None] * ColSel)
+                    x_ij -= _dot_rhs_split(MirSel, vm[:, None] * MirColSel)
+                    x_ij += _dot_rhs_split(
+                        DRowSel, db_ref[i * 6 + j, :][:, None] * DColSel
+                    )
+                    CjT = (cq == 6 * qq + j).astype(jnp.float32)  # [tile, TT]
+                    Bi += _dot(x_ij, CjT, ONEHOT_PREC)
+                acc += _dot_rhs_split(Ri, Bi)
+            out_ref[:] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M, 2),
+        in_specs=[
+            pl.BlockSpec((36, Wu), lambda k, e, o: (k * 0, k)),
+            pl.BlockSpec((1, Wu), lambda k, e, o: (k * 0, k)),
+            pl.BlockSpec((1, Wu), lambda k, e, o: (k * 0, k)),
+            pl.BlockSpec((36, Wc), lambda k, e, o: (k * 0, jnp.minimum(k + e, M - 1))),
+            pl.BlockSpec((1, Wc), lambda k, e, o: (k * 0, jnp.minimum(k + e, M - 1))),
+            pl.BlockSpec((1, Wc), lambda k, e, o: (k * 0, jnp.minimum(k + e, M - 1))),
+            pl.BlockSpec((36, 128), lambda k, e, o: (k * 0, jax.lax.div(k, jnp.int32(2)))),
+        ],
+        out_specs=pl.BlockSpec((TT, TT), lambda k, e, o: (k, e)),
+    )
+    PBmw, PBmwc = PB * maxw, PB * maxwc
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M * TT, 2 * TT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(occ_band, upT, iru.reshape(1, PBmw), icu.reshape(1, PBmw),
+      clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)
+
+
 # ---------------------------------------------------------------------------
 # resident_gather: out[:, n] = src[:, ids[n]] with the whole source in VMEM
 # ---------------------------------------------------------------------------

@@ -701,18 +701,25 @@ class BlockSolverEngine:
                     interpret=interp,
                 )
                 return xp, xl, ok
-            Dm = OB(mxu.schur_dense_mxu(
-                HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
-                interpret=interp,
-            ))
-            n = 6 * self.pad_blocks
-            rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
             if self.config.solver == "band_cr":
                 # band-certified structure: block-tridiagonal cyclic
                 # reduction (solver/band_cr.py) — batched MXU matmuls with
                 # log2(m) sequential depth instead of the dense factor's
-                # n/128 panel chain
-                Db, Ub = band_cr.from_dense(Dm, self.band_m)
+                # n/128 panel chain.  The v2 compact formation writes the
+                # band storage directly (no 6PB x 6PB dense image at all).
+                if plans.v2:
+                    Db, Ub = OB(mxu.schur_band_mxu(
+                        HppT, W, HplT, lam, self.num_p, self.pad_blocks,
+                        plans, mc, dt, interpret=interp,
+                    ))
+                else:
+                    Dm = OB(mxu.schur_dense_mxu(
+                        HppT, W, HplT, lam, self.num_p, self.pad_blocks,
+                        plans, mc, dt, interpret=interp,
+                    ))
+                    Db, Ub = band_cr.from_dense(Dm, self.band_m)
+                n = 6 * self.pad_blocks
+                rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
                 refine = self.config.refinement_steps if dt == jnp.float32 else 0
                 x, ok = OB(band_cr.cr_solve(Db, Ub, rhs, refine))
                 xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
@@ -721,6 +728,12 @@ class BlockSolverEngine:
                     interpret=interp,
                 )
                 return xp, xl, ok
+            Dm = OB(mxu.schur_dense_mxu(
+                HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
+                interpret=interp,
+            ))
+            n = 6 * self.pad_blocks
+            rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
             refine = self.config.refinement_steps if dt == jnp.float32 else 0
             # Pallas blocked trisolve (solver/trisolve.py): one extra
             # refinement sweep compensates the inverted-diagonal-block

@@ -128,6 +128,7 @@ class MXUConsts(NamedTuple):
     ipc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block col per col-rank slot
     irc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block row per col-rank slot
     occ2: jnp.ndarray = np.zeros(1, np.int32)  # [T_P*T_Q] v2 tile occupancy
+    band_occ: jnp.ndarray = np.zeros(1, np.int32)  # [m*2] band (k, e) occupancy
     # rows front-end constants (1-element dummies when plans.rows_ok False).
     # *_gid are UNGATED vertex ids (-1 only on padding): residuals include
     # fixed-vertex edges; the quadratic form's gating stays in pose_acc/lm_acc
@@ -389,6 +390,7 @@ def plan_mxu(
         maxw += maxw % 2  # 64*maxw must be lane-aligned (% 128 == 0)
         maxw = max(maxw, 2)
         maxwc = max(int(colcnt.max()) if n_hsc else 1, 1)
+        maxwc += maxwc % 2  # 64*maxwc lane alignment (compact_to_band)
         if maxw <= 64 and maxwc <= 64 and n_hsc:
             # blocks are (row, col)-sorted: rank within row is positional
             rowstart = np.zeros(PB + 1, np.int64)
@@ -420,6 +422,14 @@ def plan_mxu(
             occ2[dd // 64, dd // 128] = 1
             occ2 = occ2.reshape(-1)
             v2 = up2.ok and cl2.ok
+            # band (k, e) occupancy for compact_to_band: D_k always carries
+            # the damped diagonal; U_k only when adjacent-tile blocks exist
+            occ_band = np.zeros((PB // 64) * 2, i32)
+            occ_band[0::2] = 1
+            tr, tc = hr // 64, hc // 64
+            adj = np.abs(tr - tc) == 1
+            if adj.any():
+                occ_band[np.minimum(tr[adj], tc[adj]) * 2 + 1] = 1
         if not v2:
             gkey_up = np.where(gid >= 0, r * PB + c, -1).astype(i32)
             gkey_lo = np.where((gid >= 0) & (r != c), c * PB + r, -1).astype(i32)
@@ -541,6 +551,7 @@ def plan_mxu(
             bb_up2=np.asarray(up2.base_block, i32),
             bb_cl2=np.asarray(cl2.base_block, i32),
             iru=iru, icu=icu, ipc=ipc, irc=irc, occ2=occ2,
+            band_occ=occ_band,
         )
         # fallback-path constants become dummies (not uploaded at size)
         gkey_up = gkey_lo = dummy
@@ -946,6 +957,44 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     # lane interleave (i*6+j, p, q) -> (6p+i, 6q+j) via the band-aware
     # one-hot-matmul kernel (XLA's native transpose runs at ~10GB/s here)
     return segmm.band_transpose(m4, mc.occ, PB, interpret=interpret).astype(dtype)
+
+
+def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
+                   plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
+    """Damped Schur complement in block-tridiagonal storage (D, U) for the
+    cyclic-reduction solver (solver/band_cr.py), never materializing the
+    dense matrix.  Requires the v2 compact formation plans and a
+    band-certified structure (band_cr.certify); the engine falls back to
+    from_dense(schur_dense_mxu(...)) otherwise."""
+    assert plans.v2 and pad_blocks == plans.pad_blocks
+    PB = pad_blocks
+    win = segmm.schur_fused(
+        W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
+        interpret=interpret,
+    )
+    wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
+    win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
+
+    def keys(k):
+        return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
+
+    upT2 = segmm.tiled_segsum(
+        win, keys(mc.gkey_up2), PB * plans.maxw, plans.up2, mc.bb_up2,
+        interpret=interpret)
+    clT2 = segmm.tiled_segsum(
+        win, keys(mc.gkey_cl2), PB * plans.maxwc, plans.cl2, mc.bb_cl2,
+        interpret=interpret)
+    Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
+    Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
+    eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
+    dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
+    band = segmm.compact_to_band(
+        upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.band_occ,
+        PB, plans.maxw, plans.maxwc, interpret=interpret,
+    )
+    M = PB // 64
+    arr = band.reshape(M, 384, 2, 384).astype(dtype)
+    return arr[:, :, 0, :], arr[:, :, 1, :]
 
 
 def back_substitute_mxu(iv9, HllT, HplT, g12, xp, num_l,

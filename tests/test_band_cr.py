@@ -150,3 +150,41 @@ def test_engine_band_cr_rejects_unbanded():
     k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
     with pytest.raises(ValueError, match="band"):
         BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, solver="band_cr"))
+
+
+def test_schur_band_mxu_matches_dense_slice():
+    """Direct band formation (mxu.schur_band_mxu / segmm.compact_to_band)
+    must equal slicing the band out of the dense formation."""
+    from cuba_tpu.solver import mxu as mxu_mod
+
+    num_p, num_l = 150, 1400
+    prob = synthetic.generate(num_poses=num_p, num_landmarks=num_l, seed=2)
+    cams = np.tile(prob.cam, (num_p, 1))
+    fp = np.zeros(num_p, bool)
+    fp[prob.fixed_poses] = True
+    fl = np.zeros(num_l, bool)
+    s = build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fp, fl,
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    e = BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu="interpret",
+                                         solver="band_cr"))
+    assert e.use_mxu and e.mxu_plans.v2 and e.band_m >= 3
+    st, co = e.state, e.consts
+    err2, Xc2, err3, Xc3, chi = e._residuals_and_chi(st, co)
+    HppT, HllT, HplT = e._build(st, co, err2, Xc2, err3, Xc3)
+    lam = jnp.float32(1e-4)
+    iv9, W, bscT, g12 = mxu_mod.prepare_factors_mxu(
+        HppT, HllT, HplT, lam, e.num_p, e.num_l, e.mxu_plans, co.mxu,
+        interpret=True)
+    Dm = mxu_mod.schur_dense_mxu(
+        HppT, W, HplT, lam, e.num_p, e.pad_blocks, e.mxu_plans, co.mxu,
+        jnp.float32, interpret=True)
+    D1, U1 = band_cr.from_dense(Dm, e.band_m)
+    D2, U2 = mxu_mod.schur_band_mxu(
+        HppT, W, HplT, lam, e.num_p, e.pad_blocks, e.mxu_plans, co.mxu,
+        jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), rtol=1e-5, atol=1e-5)

@@ -34,9 +34,14 @@ def run_one(num_p, num_l, mean_obs, solver, iters, trials):
     from cuba_tpu.solver.engine import BlockSolverEngine
     from cuba_tpu.solver.structure import build_structure_from_arrays
 
+    # gentler initialization noise than the kitti00 bench default: at
+    # P >= 4096 the accumulated trajectory drift otherwise starts LM so far
+    # from the basin that fp32 rejects the first steps and chi2 stalls —
+    # the solver comparison needs accepted steps to be meaningful
     prob = synthetic.generate(
         num_poses=num_p, num_landmarks=num_l,
         mean_obs_per_landmark=mean_obs, stereo_fraction=0.25, seed=0,
+        init_rot_noise=0.002, init_trans_noise=0.02, init_point_noise=0.04,
     )
     cams = np.tile(prob.cam, (num_p, 1))
     fp = np.zeros(num_p, bool)
@@ -67,6 +72,7 @@ def run_one(num_p, num_l, mean_obs, solver, iters, trials):
         use_mxu=bool(engine.use_mxu), iters=iters,
         wall_s=round(elapsed, 4),
         chi0=float(chis[0]), chiN=float(chis[-1]),
+        descended=bool(chis[-1] < chis[0]),
     )
 
 
