@@ -38,11 +38,14 @@ def main():
         "no accuracy benefit: chi2 accumulation is fp64-grade either way "
         "(chunked fp32/fp64 combine), trajectory matches to ~5e-7 rel",
     )
-    ap.add_argument("--trials", type=int, default=3)
+    # min-of-5: the serving tunnel's per-transfer latency jitter is hundreds
+    # of ms and hits structure/ctor/opt independently; 3 trials routinely
+    # leave ~0.2s of pure jitter in the minimum (docs/PERF_NOTES.md)
+    ap.add_argument("--trials", type=int, default=5)
     ap.add_argument(
         "--solver",
-        default="dense_cholesky",
-        choices=["dense_cholesky", "band_cr", "pcg"],
+        default="auto",
+        choices=["auto", "dense_cholesky", "band_cr", "pcg"],
         help="reduced-system solver (BAConfig.solver)",
     )
     args = ap.parse_args()

@@ -40,11 +40,14 @@ class BAConfig:
         (cuda_bundle_adjustment.cpp:829).
       attenuation_min/max: clamp bounds for the accepted-step damping
         attenuation 1-(2*rho-1)^3 (cuda_bundle_adjustment.cpp:834,890-891).
-      solver: reduced-system solver: "dense_cholesky" (default; padded dense
-        blocked Cholesky on the MXU), "band_cr" (block-tridiagonal cyclic
-        reduction for band-certified pose graphs — odometry-style problems;
-        raises if the Schur pattern is not banded), or "pcg" (block-Jacobi
-        preconditioned conjugate gradient, for very large pose counts).
+      solver: reduced-system solver.  "auto" (default) exploits problem
+        structure the way the reference's sparse Cholesky + ordering does
+        implicitly (cuda_linear_solver.cpp:342-348): band-certified pose
+        graphs use "band_cr", everything else "dense_cholesky".  Explicit
+        choices: "dense_cholesky" (padded dense blocked Cholesky on the
+        MXU), "band_cr" (block-tridiagonal cyclic reduction; raises if the
+        Schur pattern is not banded), "pcg" (block-Jacobi preconditioned
+        conjugate gradient, for very large pose counts).
       refinement_steps: iterative-refinement sweeps after the Cholesky solve
         when running the fp32 fast path (residual accumulated in fp64).
       pcg_max_iterations / pcg_tol: PCG stopping controls.
@@ -72,7 +75,7 @@ class BAConfig:
     scale_eps: float = 1e-3
     attenuation_min: float = 1.0 / 3.0
     attenuation_max: float = 2.0 / 3.0
-    solver: str = "dense_cholesky"
+    solver: str = "auto"
     refinement_steps: int = 1
     numerical_escalation: float = 8.0  # lambda factor on factorization failure
     pcg_max_iterations: int = 250

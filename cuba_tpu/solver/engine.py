@@ -386,6 +386,15 @@ class BlockSolverEngine:
                 "reorder); this problem is not banded — use "
                 "'dense_cholesky' or 'pcg'"
             )
+        # "auto" picks the structure-exploiting solver exactly like the
+        # reference's sparse Cholesky + ordering does implicitly
+        # (cuda_linear_solver.cpp:342-348): banded pose graph -> cyclic
+        # reduction, anything else -> dense MXU factorization
+        self.solver = config.solver
+        if config.solver == "auto":
+            # small systems factor fastest dense (chol(6PB) is ~1ms below
+            # PB=512); CR's batched-level overhead pays off from m >= 8
+            self.solver = "band_cr" if self.band_m >= 8 else "dense_cholesky"
 
         dt = np.dtype(str(self.dtype))
         idt = np.int32
@@ -687,7 +696,7 @@ class BlockSolverEngine:
                 HppT, HllT, HplT, lam, self.num_p, self.num_l, plans, mc,
                 interpret=interp,
             ))
-            if self.config.solver == "pcg":
+            if self.solver == "pcg":
                 # matrix-free block-Jacobi PCG on the transposed tables —
                 # the large-P path (dense factorization is O(PB^2) memory)
                 xT, ok = mxu.pcg_solve_rows(
@@ -701,7 +710,7 @@ class BlockSolverEngine:
                     interpret=interp,
                 )
                 return xp, xl, ok
-            if self.config.solver == "band_cr":
+            if self.solver == "band_cr":
                 # band-certified structure: block-tridiagonal cyclic
                 # reduction (solver/band_cr.py) — batched MXU matmuls with
                 # log2(m) sequential depth instead of the dense factor's
@@ -756,7 +765,7 @@ class BlockSolverEngine:
             Hpp_d = assembly.damp(Hpp, lam)
             Hll_d = assembly.damp(Hll, lam)
             invHll, W, bsc = schur.prepare_factors(bp, Hll_d, bl, Hpl, consts.sc, self.num_p)
-            if self.config.solver == "pcg":
+            if self.solver == "pcg":
                 op = pcg.SchurOperator(
                     Hpp_d, Hpl, W, consts.sc.hpl_row, consts.sc.hpl_col, self.num_p, self.num_l
                 )
@@ -768,7 +777,7 @@ class BlockSolverEngine:
                 n = 6 * self.pad_blocks
                 rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bsc.reshape(-1))
                 refine = self.config.refinement_steps if dt == jnp.float32 else 0
-                if self.config.solver == "band_cr":
+                if self.solver == "band_cr":
                     Db, Ub = band_cr.from_dense(Dm, self.band_m)
                     x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
                 else:
@@ -966,8 +975,14 @@ class BlockSolverEngine:
                 interpret=interp,
             )
             dep = iv9.ravel()[0] + W.ravel()[0] + bscT.ravel()[0] + g12.ravel()[0]
-            if self.config.solver == "pcg":
+            if self.solver == "pcg":
                 return dep
+            if self.solver == "band_cr" and plans.v2:
+                Db, Ub = mxu.schur_band_mxu(
+                    HppT, W, HplT, lam, self.num_p, self.pad_blocks,
+                    plans, mc, dt, interpret=interp,
+                )
+                return dep + Db[0, 0, 0] + Ub[0, 0, 0]
             Dm = mxu.schur_dense_mxu(
                 HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
                 interpret=interp,
@@ -979,7 +994,7 @@ class BlockSolverEngine:
         Hll_d = assembly.damp(Hll, lam)
         invHll, W, bsc = schur.prepare_factors(bp, Hll_d, bl, Hpl, consts.sc, self.num_p)
         dep = invHll.ravel()[0] + W.ravel()[0] + bsc.ravel()[0]
-        if self.config.solver == "pcg":
+        if self.solver == "pcg":
             return dep
         Hpp_d = assembly.damp(Hpp, lam)
         Dm = schur.assemble_dense(Hpp_d, W, Hpl, consts.sc, self.num_p, self.pad_blocks)
