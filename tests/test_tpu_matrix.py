@@ -228,6 +228,21 @@ class TestSolverVariants:
         np.testing.assert_allclose(cp, cd, rtol=2e-2)
         assert np.all(np.diff(cp) <= 1e-6 * cp[:-1])
 
+    def test_band_cr_on_chip_matches_dense(self):
+        e_b = _engine(BAConfig(dtype=jnp.float32, mxu="on", solver="band_cr"),
+                      num_poses=150, num_landmarks=1400)
+        e_d = _engine(BAConfig(dtype=jnp.float32, mxu="on", solver="dense_cholesky"),
+                      num_poses=150, num_landmarks=1400)
+        assert e_b.use_mxu and e_b.mxu_plans.v2 and e_b.band_m >= 3
+        r_b = e_b.optimize(None, 5)
+        r_d = e_d.optimize(None, 5)
+        n = min(int(r_b.niters), int(r_d.niters))
+        assert n >= 3
+        cb = np.asarray(r_b.chis)[:n]
+        cd = np.asarray(r_d.chis)[:n]
+        np.testing.assert_allclose(cb, cd, rtol=2e-2)
+        assert np.all(np.diff(cb) <= 1e-6 * cb[:-1])
+
     def test_fp64_xla_path_on_chip(self):
         # the chip executes fp64 via emulation; this is the smoke gate that
         # the parity-grade configuration actually runs on hardware

@@ -1,12 +1,14 @@
-"""Large-P solver crossover benchmark: dense Cholesky vs matrix-free PCG.
+"""Large-P solver crossover benchmark: dense Cholesky vs band CR vs PCG.
 
 The dense reduced solver (solver/dense_cholesky.py) is O(PB^2) memory /
-O(PB^3) FLOPs and wins decisively at the reference's benchmark scales
-(P <= ~2k); the matrix-free block-Jacobi PCG (mxu.pcg_solve_rows) is
-O(n_hpl) per matvec and is the large-P path — the regime the reference
-covers with sparse Cholesky + METIS (reference:
-src/cuda_linear_solver.cpp:147-232, :342-348).  This script measures both
-on the same pose-heavy synthetic problems and reports the crossover.
+O(PB^3) FLOPs and wins at small scales; band cyclic reduction
+(solver/band_cr.py) is O(n) for band-certified odometry graphs; the
+matrix-free block-Jacobi PCG (mxu.pcg_solve_rows) is O(n_hpl) per matvec
+and covers large problems whose structure is NOT banded — together they
+span the regime the reference covers with sparse Cholesky + METIS
+(reference: src/cuda_linear_solver.cpp:147-232, :342-348).  This script
+measures all three on the same pose-heavy synthetic problems and reports
+the dense->scalable crossover.
 
 Usage:  python tools/bench_pcg_crossover.py [--scales 2048,4096,8192,16384]
 Prints one JSON line per (P, solver) and a final summary line.  Results are
@@ -87,7 +89,7 @@ def main():
     rows = []
     for p in [int(x) for x in args.scales.split(",")]:
         nl = int(p * args.lm_per_pose)
-        for solver in ("dense_cholesky", "pcg"):
+        for solver in ("dense_cholesky", "band_cr", "pcg"):
             try:
                 r = run_one(p, nl, 5.0, solver, args.iters, args.trials)
             except Exception as e:  # dense OOMs past its documented ceiling
@@ -96,15 +98,20 @@ def main():
             rows.append(r)
             print(json.dumps(r), flush=True)
 
-    # crossover: smallest P where PCG beats dense (or dense fails)
+    # crossover: smallest P where a scalable solver beats dense (or dense fails)
     cross = None
     for p in sorted({r["P"] for r in rows}):
         d = next(r for r in rows if r["P"] == p and r["solver"] == "dense_cholesky")
-        c = next(r for r in rows if r["P"] == p and r["solver"] == "pcg")
-        if "error" in d or ("wall_s" in c and c["wall_s"] < d.get("wall_s", float("inf"))):
+        best = min(
+            (r["wall_s"] for r in rows
+             if r["P"] == p and r["solver"] != "dense_cholesky" and "wall_s" in r),
+            default=float("inf"),
+        )
+        if "error" in d or best < d.get("wall_s", float("inf")):
             cross = p
             break
-    print(json.dumps({"summary": "pcg_crossover", "first_P_where_pcg_wins": cross}))
+    print(json.dumps({"summary": "solver_crossover",
+                      "first_P_where_scalable_beats_dense": cross}))
 
 
 if __name__ == "__main__":
