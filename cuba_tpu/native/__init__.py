@@ -226,6 +226,52 @@ def tile_minmax(ids: np.ndarray, bound: int, tile: int, mode: int, num_tiles: in
     return mn, mx
 
 
+def _bind_delta(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.ba_delta_probe.restype = None
+    lib.ba_delta_probe.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p]
+    lib.ba_delta_fill.restype = None
+    lib.ba_delta_fill.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, i16p,
+    ]
+
+
+def delta_encode(x: np.ndarray, chunk: int):
+    """C++ twin of the engine wire-packer's delta encoder (engine._try_d8):
+    probe + fill in two memcpy-speed passes.  x must be 1-D int32.
+    Returns (bases int32, deltas int8|int16, V) or None (not encodable /
+    native unavailable)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ba_delta_probe"):
+        return None
+    if not getattr(lib, "_delta_bound", False):
+        _bind_delta(lib)
+        lib._delta_bound = True
+    x = np.ascontiguousarray(x, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    V = ctypes.c_int64()
+    kind = ctypes.c_int32()
+    lib.ba_delta_probe(x.ctypes.data_as(i32p), x.size, int(chunk),
+                       ctypes.byref(V), ctypes.byref(kind))
+    if kind.value == 2:
+        return None
+    V = V.value
+    total = ((V + chunk - 1) // chunk) * chunk
+    if kind.value == 0:
+        deltas = np.empty(total, np.int8)
+        lib.ba_delta_fill(x.ctypes.data_as(i32p), V, int(chunk), total,
+                          deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), None)
+    else:
+        deltas = np.empty(total, np.int16)
+        lib.ba_delta_fill(x.ctypes.data_as(i32p), V, int(chunk), total,
+                          None, deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    bases = x[:V:chunk].astype(np.int32)
+    return bases, deltas, V
+
+
 def _bind_schur(lib: ctypes.CDLL) -> None:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.ba_schur_plan.restype = ctypes.c_void_p

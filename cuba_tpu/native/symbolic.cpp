@@ -694,4 +694,43 @@ void ba_locality_reorder(const int32_t* mono_pi, const int32_t* mono_li,
   remap_sort(stereo_pi, stereo_li, n_stereo, stereo_perm, stereo_new_li);
 }
 
+// Wire-packer helper (engine._try_d8): probe whether the intra-chunk first
+// differences of x[:V] fit int8/int16, where V is the index after the last
+// non-pad value (pad = x[n-1]) and chunk leads are excluded (they ride as
+// int32 bases).  kind: 0 = int8, 1 = int16, 2 = not encodable / too short.
+void ba_delta_probe(const int32_t* x, int64_t n, int64_t chunk,
+                    int64_t* V_out, int32_t* kind_out) {
+  const int32_t pad = x[n - 1];
+  int64_t V = 0;
+  for (int64_t i = n; i > 0; --i) {
+    if (x[i - 1] != pad) { V = i; break; }
+  }
+  *V_out = V;
+  if (V < 2048) { *kind_out = 2; return; }
+  int64_t dmin = 0, dmax = 0;
+  for (int64_t i = 1; i < V; ++i) {
+    if (i % chunk == 0) continue;
+    const int64_t d = static_cast<int64_t>(x[i]) - x[i - 1];
+    if (d < dmin) dmin = d;
+    if (d > dmax) dmax = d;
+  }
+  *kind_out = (dmax <= 127 && dmin >= -128) ? 0
+            : (dmax <= 32767 && dmin >= -32768) ? 1 : 2;
+}
+
+// Fill the delta stream for a successful probe: out has ceil(V/chunk)*chunk
+// entries, chunk leads and the tail beyond V are zero.  Exactly one of
+// d8/d16 is non-null (matching the probe's kind).
+void ba_delta_fill(const int32_t* x, int64_t V, int64_t chunk,
+                   int64_t total, int8_t* d8, int16_t* d16) {
+  if (d8) std::fill(d8, d8 + total, static_cast<int8_t>(0));
+  if (d16) std::fill(d16, d16 + total, static_cast<int16_t>(0));
+  for (int64_t i = 1; i < V; ++i) {
+    if (i % chunk == 0) continue;
+    const int64_t d = static_cast<int64_t>(x[i]) - x[i - 1];
+    if (d8) d8[i] = static_cast<int8_t>(d);
+    else d16[i] = static_cast<int16_t>(d);
+  }
+}
+
 }  // extern "C"

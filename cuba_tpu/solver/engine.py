@@ -113,6 +113,17 @@ def _try_d8(arr):
     """Delta-encode: int8 deltas when they fit, int16 otherwise."""
     if arr.ndim != 1 or arr.size < 4096 or arr.dtype not in (np.int32, np.int16):
         return None
+    from cuba_tpu import native
+
+    enc = native.delta_encode(arr, _CH)  # two memcpy-speed C++ passes
+    if enc is not None:
+        bases, deltas, V = enc
+        if deltas.dtype == np.int16 and arr.dtype == np.int16:
+            return None  # int16 deltas don't beat the int16 wire
+        return bases, deltas, V, arr.size, int(arr[-1])
+    if native.get_lib() is not None:
+        return None  # native probe said not encodable
+    # NumPy fallback (CUBA_TPU_NO_NATIVE builds)
     x = arr.astype(np.int64)
     pad_val = int(x[-1])
     nz = np.nonzero(x != pad_val)[0]
