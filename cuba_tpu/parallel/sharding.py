@@ -245,6 +245,25 @@ class MultiChipEngine:
         self.problem = shard_problem(structure, n_dev, self.dtype)
         # pad dense reduced system to whole MXU tiles (6*PB multiple of 384)
         self.pad_blocks = max(((self.num_p + 63) // 64) * 64, 64)
+        # band-certified pose graphs skip the replicated dense formation
+        # entirely: the reduced block table scatters into block-tridiagonal
+        # storage (~13 MB vs 285 MB at kitti00 scale) solved by cyclic
+        # reduction (solver/band_cr.py)
+        from cuba_tpu.solver import band_cr
+
+        self.band_m = band_cr.certify(
+            structure.hsc_row, structure.hsc_col, self.pad_blocks
+        )
+        if config.solver == "band_cr" and not self.band_m:
+            raise ValueError(
+                "solver='band_cr' requires a band-certified Schur pattern; "
+                "this problem is not banded — use 'dense_cholesky'"
+            )
+        self.solver = (
+            "band_cr"
+            if config.solver in ("auto", "band_cr") and self.band_m
+            else "dense_cholesky"
+        )
         self._jit_cache = {}
 
     # --- shard-local math --------------------------------------------------
@@ -277,6 +296,21 @@ class MultiChipEngine:
         kernels = self.kernels
 
         n_hsc = int(self.problem.consts.hsc_row.shape[0])
+
+        use_band = self.solver == "band_cr" and n_hsc > 0
+        if use_band:
+            from cuba_tpu.solver import band_cr
+
+            M_band = PB // 64
+            hr_np = np.asarray(self.structure.hsc_row, np.int64)
+            hc_np = np.asarray(self.structure.hsc_col, np.int64)
+            tr_np, tc_np = hr_np // 64, hc_np // 64
+            lr_np, lc_np = hr_np % 64, hc_np % 64
+            same_np = tr_np == tc_np
+            offd_np = same_np & (hr_np != hc_np)
+            adj_np = tc_np == tr_np + 1
+            # masked scatters: excluded blocks write zeros at slot 0
+            z64 = np.zeros_like(lr_np)
 
         def shard_body(qs, ts, Xws_l, cams, mono, stereo, hpl_row, hpl_col,
                        mul_i, mul_j, mul_k, lm_count, hsc_row, hsc_col):
@@ -333,25 +367,56 @@ class MultiChipEngine:
                 )[:n_hsc]
                 blocks = jax.lax.psum(blocks, AXIS)
                 bsc = bp + jax.lax.psum(bsc_local, AXIS)
-                # replicated dense formation from the reduced block table
-                # (upper-tri blocks + symmetric mirror, the reference's
-                # BSR->CSR expansion semantics, sparse_block_matrix.cpp:205-226)
-                D = jnp.zeros((PB, 6, PB, 6), dt)
-                D = D.at[hsc_row, :, hsc_col, :].add(-blocks)
-                off = (hsc_row != hsc_col)[:, None, None]
-                D = D.at[hsc_col, :, hsc_row, :].add(
-                    jnp.where(off, -jnp.swapaxes(blocks, -1, -2), jnp.zeros_like(blocks))
-                )
-                # replicated: add damped Hpp to diagonal + identity padding
-                diag = jnp.arange(num_p)
-                D = D.at[diag, :, diag, :].add(Hpp_d)
                 n = 6 * PB
-                Dm = D.reshape(n, n) + jnp.diag(
-                    jnp.concatenate([jnp.zeros(6 * num_p, dt), jnp.ones(n - 6 * num_p, dt)])
-                )
                 rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(bsc.reshape(-1))
                 refine = cfg.refinement_steps if dt == jnp.float32 else 0
-                x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+                diag = jnp.arange(num_p)
+                if use_band:
+                    # replicated BAND formation: scatter the reduced block
+                    # table into block-tridiagonal storage (D, U) and solve
+                    # by cyclic reduction — no 6PB x 6PB image at all
+                    bz = jnp.zeros_like(blocks)
+                    blkT = jnp.swapaxes(blocks, -1, -2)
+                    D5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
+                    D5 = D5.at[tr_np, np.where(same_np, lr_np, z64), :,
+                               np.where(same_np, lc_np, z64), :].add(
+                        jnp.where(same_np[:, None, None], -blocks, bz))
+                    D5 = D5.at[tr_np, np.where(offd_np, lc_np, z64), :,
+                               np.where(offd_np, lr_np, z64), :].add(
+                        jnp.where(offd_np[:, None, None], -blkT, bz))
+                    p_np = np.arange(num_p)
+                    D5 = D5.at[p_np // 64, p_np % 64, :, p_np % 64, :].add(Hpp_d)
+                    pad_np = np.arange(num_p, PB)
+                    eye6 = jnp.broadcast_to(
+                        jnp.eye(6, dtype=dt), (pad_np.size, 6, 6))
+                    D5 = D5.at[pad_np // 64, pad_np % 64, :, pad_np % 64, :].add(eye6)
+                    U5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
+                    U5 = U5.at[np.where(adj_np, tr_np, 0 * tr_np),
+                               np.where(adj_np, lr_np, z64), :,
+                               np.where(adj_np, lc_np, z64), :].add(
+                        jnp.where(adj_np[:, None, None], -blocks, bz))
+                    Db = D5.reshape(M_band, 384, 384)
+                    Ub = U5.reshape(M_band, 384, 384)
+                    x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
+                else:
+                    # replicated dense formation from the reduced block table
+                    # (upper-tri blocks + symmetric mirror, the reference's
+                    # BSR->CSR expansion semantics,
+                    # sparse_block_matrix.cpp:205-226)
+                    D = jnp.zeros((PB, 6, PB, 6), dt)
+                    D = D.at[hsc_row, :, hsc_col, :].add(-blocks)
+                    off = (hsc_row != hsc_col)[:, None, None]
+                    D = D.at[hsc_col, :, hsc_row, :].add(
+                        jnp.where(off, -jnp.swapaxes(blocks, -1, -2),
+                                  jnp.zeros_like(blocks))
+                    )
+                    # replicated: add damped Hpp to diagonal + identity padding
+                    D = D.at[diag, :, diag, :].add(Hpp_d)
+                    Dm = D.reshape(n, n) + jnp.diag(
+                        jnp.concatenate(
+                            [jnp.zeros(6 * num_p, dt), jnp.ones(n - 6 * num_p, dt)])
+                    )
+                    x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
                 xp = x[: 6 * num_p].reshape(num_p, 6)
                 # local back-substitution
                 contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row], precision="highest")
