@@ -94,3 +94,29 @@ def test_multichip_with_fixed_landmarks():
     n = min(len(chis_single), len(chis_multi))
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+def test_multichip_band_and_dense_parity():
+    """The band-certified multi-chip path (replicated cyclic reduction) and
+    the forced dense path must produce the same trajectory; banded problems
+    must actually engage the band path under the 'auto' default."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    # >= 129 poses so pad_blocks/64 >= 2 CR blocks (band certification)
+    prob = synthetic.generate(num_poses=140, num_landmarks=900, seed=13)
+    ba = synthetic.build_graph(prob)
+    ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba.initialize()
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    e_auto = MultiChipEngine(ba._engine.structure, ba._kernels, BAConfig(), mesh)
+    assert e_auto.solver == "band_cr" and e_auto.band_m >= 2
+    e_dense = MultiChipEngine(
+        ba._engine.structure, ba._kernels, BAConfig(solver="dense_cholesky"), mesh
+    )
+    assert e_dense.solver == "dense_cholesky"
+    chis_b, *_ = e_auto.optimize(5)
+    chis_d, *_ = e_dense.optimize(5)
+    n = min(len(chis_b), len(chis_d))
+    assert n >= 3
+    rel = np.abs(np.array(chis_b[:n]) - np.array(chis_d[:n])) / np.abs(np.array(chis_d[:n]))
+    assert np.all(rel < 1e-5), list(zip(chis_b[:n], chis_d[:n]))
