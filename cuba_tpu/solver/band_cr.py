@@ -77,7 +77,7 @@ def from_dense(A: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return D, U
 
 
-def _inv_spd(M):
+def _inv_spd_chol(M):
     """Batched SPD inverse via Cholesky (batched over the leading dim)."""
     L = jnp.linalg.cholesky(M)
     eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
@@ -85,6 +85,42 @@ def _inv_spd(M):
         L, eye, left_side=True, lower=True
     )
     return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
+def _inv_spd_rs(M, leaf: int = 48):
+    """Batched SPD inverse by recursive 2x2 block Schur complements —
+    pure batched matmuls down to `leaf`-sized LU leaves, so the whole
+    inverse is MXU work with log2(n/leaf) sequential depth (XLA's batched
+    Cholesky still walks columns sequentially inside each block)."""
+    n = M.shape[-1]
+    if n <= leaf:
+        # Cholesky leaf: TPU's LuDecomposition expander is F32-only, and
+        # the blocks are SPD anyway
+        return _inv_spd_chol(M)
+    h = n // 2
+    A = M[..., :h, :h]
+    Bm = M[..., :h, h:]
+    C = M[..., h:, h:]
+    hp = "highest"
+    Ai = _inv_spd_rs(A, leaf)
+    AiB = jnp.matmul(Ai, Bm, precision=hp)
+    S = C - jnp.matmul(jnp.swapaxes(Bm, -1, -2), AiB, precision=hp)
+    Si = _inv_spd_rs(S, leaf)
+    TR = -jnp.matmul(AiB, Si, precision=hp)
+    TL = Ai - jnp.matmul(TR, jnp.swapaxes(AiB, -1, -2), precision=hp)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+# CUBA_TPU_CR_RSINV=1 switches the CR diagonal-block inverses to the
+# recursive-Schur form (on-chip comparison knob; default: batched Cholesky)
+def _inv_spd(M):
+    import os
+
+    if os.environ.get("CUBA_TPU_CR_RSINV", "0") == "1":
+        return _inv_spd_rs(M)
+    return _inv_spd_chol(M)
 
 
 def factor(D: jnp.ndarray, U: jnp.ndarray):

@@ -30,6 +30,13 @@ def run_one(num_p, num_l, mean_obs, solver, iters, trials):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeated sweeps skip the remote compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from cuba_tpu.config import BAConfig
     from cuba_tpu.io import synthetic
     from cuba_tpu.ops import robust
