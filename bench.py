@@ -38,10 +38,12 @@ def main():
         "no accuracy benefit: chi2 accumulation is fp64-grade either way "
         "(chunked fp32/fp64 combine), trajectory matches to ~5e-7 rel",
     )
-    # min-of-5: the serving tunnel's per-transfer latency jitter is hundreds
-    # of ms and hits structure/ctor/opt independently; 3 trials routinely
-    # leave ~0.2s of pure jitter in the minimum (docs/PERF_NOTES.md)
-    ap.add_argument("--trials", type=int, default=5)
+    # min-of-7: the serving tunnel's per-transfer latency jitter is hundreds
+    # of ms and hits structure/ctor/opt independently, and the 1-core host
+    # occasionally takes ~1s page-fault stalls in the structure pass; 3
+    # trials routinely leave ~0.2s of pure jitter in the minimum
+    # (docs/PERF_NOTES.md)
+    ap.add_argument("--trials", type=int, default=7)
     ap.add_argument(
         "--solver",
         default="auto",
@@ -128,8 +130,11 @@ def main():
     # best of 3: the TPU serving tunnel has multi-hundred-ms latency jitter
     # between runs (docs/PERF_NOTES.md); min-of-repeats is the standard way
     # to report the machine's actual capability
+    import gc
+
     elapsed = float("inf")
     for trial in range(args.trials):
+        gc.collect()  # keep collector pauses out of the timed region
         t0 = time.perf_counter()
         structure = compile_problem()
         t1 = time.perf_counter()

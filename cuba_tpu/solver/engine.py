@@ -193,7 +193,20 @@ def _pack_group(items):
     for key, arr in items:
         arr = np.asarray(arr)
         if arr.dtype == np.float32:
-            add(key, "f32", np.ascontiguousarray(arr.ravel()).view(np.int32), arr.size)
+            flat = arr.ravel()
+            if flat.size > 4096:
+                # constant-then-zero-pad arrays (e.g. unit information
+                # weights) ship as 2 words: [bitcast(c), V]
+                nz = np.nonzero(flat)[0]
+                V = int(nz[-1]) + 1 if nz.size else 0
+                c = flat[0]
+                if V and c != 0 and (flat[:V] == c).all() and not flat[V:].any():
+                    payload = np.empty(2, np.int32)
+                    payload[0] = np.float32(c).view(np.int32)
+                    payload[1] = V
+                    add(key, "fc", payload, flat.size)
+                    continue
+            add(key, "f32", np.ascontiguousarray(flat).view(np.int32), arr.size)
             continue
         if arr.dtype not in (np.int32, np.int16):
             raise TypeError(f"_pack_group: unsupported dtype {arr.dtype} for {key}")
@@ -225,6 +238,12 @@ def _unpack_group(dev, meta):
             raw[key] = v[:n_orig]
         elif mode == "f32":
             raw[key] = jax.lax.bitcast_convert_type(v, jnp.float32)
+        elif mode == "fc":  # constant c for the first V entries, 0 after
+            c = jax.lax.bitcast_convert_type(v[:1], jnp.float32)[0]
+            V = v[1]
+            raw[key] = jnp.where(
+                jnp.arange(n_orig, dtype=jnp.int32) < V, c, jnp.float32(0)
+            )
         elif mode == "p16":
             lo = (v << 16) >> 16
             hi = v >> 16
