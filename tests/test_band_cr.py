@@ -188,3 +188,42 @@ def test_schur_band_mxu_matches_dense_slice():
         jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(D1), np.asarray(D2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), rtol=1e-5, atol=1e-5)
+
+
+def test_loop_closure_degrades_to_dense():
+    """A single long-range covisibility (loop closure) breaks band
+    certification; solver='auto' must degrade to dense and still converge."""
+    rng = np.random.default_rng(3)
+    num_p, num_l = 200, 1800
+    qs = np.tile(np.array([0.0, 0, 0, 1]), (num_p, 1))
+    ts = np.cumsum(rng.normal(0.1, 0.02, size=(num_p, 3)), axis=0)
+    cams = np.tile(np.array([500.0, 500, 320, 240, 0.1]), (num_p, 1))
+    Xws = rng.normal(size=(num_l, 3)) * 3 + np.array([0, 0, 6.0])
+    fp = np.zeros(num_p, bool)
+    fp[0] = True
+    fl = np.zeros(num_l, bool)
+    mp, ml = [], []
+    for lm in range(num_l):
+        base = (lm * num_p) // num_l
+        for kk in range(3):  # sequential covisibility window
+            mp.append((base + kk) % num_p)
+            ml.append(lm)
+    # loop closure: the first landmarks are re-observed from the last poses
+    for lm in range(8):
+        mp.append(num_p - 1 - lm)
+        ml.append(lm)
+    mp = np.asarray(mp, np.int32)
+    ml = np.asarray(ml, np.int32)
+    mz = rng.normal(size=(len(mp), 2)) * 10 + np.array([320.0, 240])
+    e = np.zeros((0,), np.int32)
+    s = build_structure_from_arrays(
+        qs, ts, cams, Xws, fp, fl, mp, ml, mz, np.ones(len(mp)),
+        e, e, np.zeros((0, 3)), np.zeros(0),
+    )
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    eng = BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu="off"))
+    assert eng.band_m == 0, "loop closure should break band certification"
+    assert eng.solver == "dense_cholesky"
+    res = eng.optimize(None, 4)
+    chis = np.asarray(res.chis)[: int(res.niters)]
+    assert np.all(np.isfinite(chis)) and chis[-1] < chis[0]
