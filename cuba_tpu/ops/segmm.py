@@ -85,6 +85,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _vmem_for_window(R: int, T_S: int, D: int):
+    """Scoped-VMEM cap for the windowed one-hot kernels.  The default
+    (16MB) is fine for bench-scale windows, but a large-P full-residency
+    gather plan (block = p_src_pad, e.g. 16k+ poses) builds an [R, T_S]
+    iota + bf16 one-hot that alone exceeds it — size the cap to the
+    working set instead of failing to compile."""
+    need = R * T_S * 6 + 2 * D * R * 4 + D * T_S * 8  # iota+onehot, src x2, out
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(120 << 20, max(32 << 20, 2 * need))
+    )
+
+
 # ---------------------------------------------------------------------------
 # accum_segsum: unsorted ids, small S (whole output lives in VMEM)
 # ---------------------------------------------------------------------------
@@ -390,6 +402,7 @@ def tiled_segsum(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, T * T_S), jnp.float32),
+        compiler_params=_vmem_for_window(R, T_S, D),
         interpret=interpret,
     )(base_block, ids.reshape(1, Np), vals)
     return out[:, :num_out]
@@ -451,6 +464,7 @@ def tiled_gather(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, Np), jnp.float32),
+        compiler_params=_vmem_for_window(R, T_S, D),
         interpret=interpret,
     )(base_block, ids.reshape(1, Np), src)
     return out if num_out is None else out[:, :num_out]
