@@ -173,12 +173,21 @@ def generate(
 
     inv_sigma2 = 1.0 / (pixel_noise * pixel_noise) if pixel_noise > 0 else 1.0
 
-    # noisy initialization (fixed poses keep ground truth)
+    # noisy initialization (fixed poses keep ground truth).  The rotation
+    # perturbation is applied ABOUT THE CAMERA CENTER: perturbing q while
+    # keeping t (a world-to-camera translation) rotates the camera about
+    # the WORLD ORIGIN, which lever-arms a ~1e-3 rad noise into tens of
+    # meters of camera-frame error at km-long trajectories — flipping
+    # point depths negative and NaN-ing the projective residuals.  Real
+    # SLAM initializations err locally, not about the map origin.
     dq = _quat_from_small_rotvec(rng.normal(0, init_rot_noise, (num_poses, 3)))
     qs = _quat_mul(dq, gt_qs)
     qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
     qs[qs[:, 3] < 0] *= -1
-    ts = gt_ts + rng.normal(0, init_trans_noise, (num_poses, 3))
+    conj = np.array([-1.0, -1.0, -1.0, 1.0])
+    centers_gt = -_quat_rotate(gt_qs * conj, gt_ts)  # c = -R^T t
+    centers_noisy = centers_gt + rng.normal(0, init_trans_noise, (num_poses, 3))
+    ts = -_quat_rotate(qs, centers_noisy)
     Xws = gt_Xws + rng.normal(0, init_point_noise, (num_landmarks, 3))
 
     fixed = np.arange(min(num_fixed_poses, num_poses))
