@@ -47,8 +47,16 @@ def main():
     ap.add_argument(
         "--solver",
         default="auto",
-        choices=["auto", "dense_cholesky", "band_cr", "pcg"],
+        choices=["auto", "dense_cholesky", "band_cr", "band_lr", "pcg"],
         help="reduced-system solver (BAConfig.solver)",
+    )
+    ap.add_argument(
+        "--loop-closures",
+        action="store_true",
+        help="closed-circuit trajectory with seam covisibility — the real "
+        "KITTI-00 loop-closure shape (reference README.md:101-104).  The "
+        "Schur pattern becomes banded + corner blocks; solver='auto' routes "
+        "it to the band+Woodbury solver instead of the dense factorization",
     )
     args = ap.parse_args()
 
@@ -82,6 +90,8 @@ def main():
         name = "kitti00_scale"
         baseline = BASELINE_GPU_SECONDS
 
+    if args.loop_closures:
+        name += "_loop"
     t0 = time.perf_counter()
     prob = synthetic.generate(
         num_poses=n_poses,
@@ -89,6 +99,7 @@ def main():
         mean_obs_per_landmark=mean_obs,
         stereo_fraction=0.25,
         seed=0,
+        loop_closure=args.loop_closures,
     )
     nedges = prob.mono_p.size + prob.stereo_p.size
     if args.verbose:
@@ -125,6 +136,11 @@ def main():
     chis_warm = np.asarray(result.chis)[: int(result.niters)]
     if args.verbose:
         print(f"# warm-up (incl. compile): {warm:.2f}s, chi2 {chis_warm[:3]}...", file=sys.stderr)
+        print(
+            f"# solver={engine.solver} band_m={engine.band_m} "
+            f"loop_cols={0 if engine.lr is None else engine.lr['jrows'].size // 6}",
+            file=sys.stderr,
+        )
 
     # --- timed: initialize + upload + optimize(iters) --------------------
     # best of 3: the TPU serving tunnel has multi-hundred-ms latency jitter

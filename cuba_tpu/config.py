@@ -43,11 +43,16 @@ class BAConfig:
       solver: reduced-system solver.  "auto" (default) exploits problem
         structure the way the reference's sparse Cholesky + ordering does
         implicitly (cuda_linear_solver.cpp:342-348): band-certified pose
-        graphs use "band_cr", everything else "dense_cholesky".  Explicit
-        choices: "dense_cholesky" (padded dense blocked Cholesky on the
-        MXU), "band_cr" (block-tridiagonal cyclic reduction; raises if the
-        Schur pattern is not banded), "pcg" (block-Jacobi preconditioned
-        conjugate gradient, for very large pose counts).
+        graphs use "band_cr"; banded-plus-loop-closure patterns use
+        "band_lr"; everything else "dense_cholesky" up to the dense
+        compile ceiling, then "pcg".  Explicit choices: "dense_cholesky"
+        (padded dense blocked Cholesky on the MXU), "band_cr"
+        (block-tridiagonal cyclic reduction; raises if the Schur pattern
+        is not banded), "band_lr" (cyclic reduction + Woodbury correction
+        for out-of-band loop-closure blocks; raises if the in-band part
+        does not certify or the loop-column set exceeds 64 pose blocks),
+        "pcg" (block-Jacobi preconditioned conjugate gradient, for very
+        large pose counts).
       refinement_steps: iterative-refinement sweeps after the Cholesky solve
         when running the fp32 fast path (residual accumulated in fp64).
       pcg_max_iterations / pcg_tol: PCG stopping controls.

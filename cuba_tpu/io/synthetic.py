@@ -81,12 +81,22 @@ def generate(
     num_fixed_poses: int = 1,
     seed: int = 0,
     image_size: Tuple[int, int] = (1226, 370),
+    loop_closure: bool = False,
 ) -> SyntheticProblem:
     """KITTI-like forward-motion scene with co-visibility windows.
 
     Landmarks are anchored near a random trajectory point and observed from a
     window of nearby poses — this reproduces the banded co-observation
     structure that makes the Schur complement sparse on real SLAM data.
+
+    ``loop_closure=True`` drives the trajectory around a closed circuit and
+    lets the covisibility window WRAP at the seam, so the last poses
+    genuinely re-observe the first landmarks from physically revisited
+    viewpoints — the ORB-SLAM loop-closure covisibility shape of the
+    reference's real KITTI-00 fixture (reference: README.md:101-104).  The
+    resulting Schur pattern is "banded + corner blocks", which
+    solver="auto" routes to the band+Woodbury solver (band_cr.
+    cr_solve_woodbury) instead of the dense factorization.
     """
     rng = np.random.default_rng(seed)
     fx = fy = 718.856
@@ -95,14 +105,25 @@ def generate(
     cam = np.array([fx, fy, cx, cy, bf])
     W, H = image_size
 
-    # trajectory: mostly forward (+z in world), slight curvature
     speed = 1.0
     centers = np.zeros((num_poses, 3))
     headings = np.zeros(num_poses)
-    for i in range(1, num_poses):
-        headings[i] = headings[i - 1] + rng.normal(0, 0.02)
-        step = speed * np.array([np.sin(headings[i]), 0.0, np.cos(headings[i])])
-        centers[i] = centers[i - 1] + step + rng.normal(0, 0.01, 3)
+    if loop_closure:
+        # closed circuit: heading sweeps exactly 2*pi over the trajectory,
+        # so pose P-1 returns next to pose 0 (the loop-closure seam)
+        headings = 2.0 * np.pi * np.arange(num_poses) / num_poses
+        headings += rng.normal(0, 0.002, num_poses)
+        for i in range(1, num_poses):
+            step = speed * np.array(
+                [np.sin(headings[i]), 0.0, np.cos(headings[i])]
+            )
+            centers[i] = centers[i - 1] + step + rng.normal(0, 0.01, 3)
+    else:
+        # open trajectory: mostly forward (+z in world), slight curvature
+        for i in range(1, num_poses):
+            headings[i] = headings[i - 1] + rng.normal(0, 0.02)
+            step = speed * np.array([np.sin(headings[i]), 0.0, np.cos(headings[i])])
+            centers[i] = centers[i - 1] + step + rng.normal(0, 0.01, 3)
 
     # camera orientation: yaw = heading (world-to-camera = R^T, -R^T c)
     half = 0.5 * headings
@@ -132,6 +153,10 @@ def generate(
     cand_p = anchor[:, None] + offsets[None, :]  # [L, 2w+1]
     keep = rng.random(cand_p.shape) < keep_p
     keep[:, win] = True  # anchor pose always observes (>= 1 obs/landmark)
+    if loop_closure:
+        # covisibility wraps at the seam: late poses re-observe early
+        # landmarks (and vice versa) — the loop-closure edges
+        cand_p = np.mod(cand_p, num_poses)
     keep &= (cand_p >= 0) & (cand_p < num_poses)
     obs_l, obs_k = np.nonzero(keep)
     obs_p = cand_p[obs_l, obs_k].astype(np.int64)

@@ -50,20 +50,37 @@ def certify(hsc_row, hsc_col, pad_blocks: int):
     block-tridiagonal storage iff every (row, col) pair lands in the same
     or an adjacent CR block — guaranteed by half-bandwidth <= 64 pose
     blocks.  Returns the CR block count m, or 0 if not banded."""
+    m, ob = certify_lr(hsc_row, hsc_col, pad_blocks)
+    return m if ob.size == 0 else 0
+
+
+def certify_lr(hsc_row, hsc_col, pad_blocks: int):
+    """Band + low-rank certification: like :func:`certify` but long-range
+    (out-of-band) blocks are allowed and returned instead of failing.
+
+    Loop-closure covisibility (ORB-SLAM revisits, reference README.md:101-104)
+    makes real Schur patterns "banded + a few long-range blocks"; those
+    blocks are handled by a Woodbury correction against the CR factor
+    (:func:`cr_solve_woodbury`) instead of degrading to the dense solver.
+
+    Returns (m, ob_idx): the CR block count (0 if the IN-band part does not
+    certify) and the sorted indices into the hsc block list of the
+    out-of-band blocks (empty for a pure band).
+    """
     import numpy as np
 
+    empty = np.zeros(0, np.int64)
     if pad_blocks % POSES_PER_BLOCK != 0:
-        return 0
+        return 0, empty
     m = pad_blocks // POSES_PER_BLOCK
     if m < 2 or len(hsc_row) == 0:
-        return 0
+        return 0, empty
     r = np.asarray(hsc_row, np.int64)
     c = np.asarray(hsc_col, np.int64)
-    if int(np.abs(r - c).max()) > POSES_PER_BLOCK:
-        return 0
-    if int(np.abs(r // POSES_PER_BLOCK - c // POSES_PER_BLOCK).max()) > 1:
-        return 0
-    return m
+    out = (np.abs(r - c) > POSES_PER_BLOCK) | (
+        np.abs(r // POSES_PER_BLOCK - c // POSES_PER_BLOCK) > 1
+    )
+    return m, np.nonzero(out)[0]
 
 
 def from_dense(A: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -75,6 +92,18 @@ def from_dense(A: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         + [jnp.zeros((B, B), A.dtype)]
     )
     return D, U
+
+
+def ob_from_dense(Dm: jnp.ndarray, obr, obc) -> jnp.ndarray:
+    """Gather the out-of-band 6x6 blocks A[obr[k], obc[k]] from a dense
+    Schur matrix (bridging path for cr_solve_woodbury when the band storage
+    was sliced out of the dense formation).  obr/obc are host-side NumPy
+    pose-block indices, so the gather indices are static."""
+    import numpy as np
+
+    rows = np.asarray(obr, np.int64)[:, None] * 6 + np.arange(6)
+    cols = np.asarray(obc, np.int64)[:, None] * 6 + np.arange(6)
+    return Dm[rows[:, :, None], cols[:, None, :]]
 
 
 def _inv_spd_chol(M):
@@ -163,62 +192,64 @@ def factor(D: jnp.ndarray, U: jnp.ndarray):
 
 
 def solve(levels, base, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b using a factor() result.  b, x: [m*B]."""
-    m0 = b.shape[0] // B
-    b_lv = [b.reshape(m0, B)]
+    """Solve A X = B using a factor() result.
+
+    b: [m*B] or [m*B, R] (multi-RHS — every step is a batched matmul, so
+    extra right-hand sides ride the MXU nearly for free; the Woodbury
+    loop-closure correction leans on this)."""
+    vec = b.ndim == 1
+    bm = b[:, None] if vec else b
+    R_ = bm.shape[1]
+    m0 = bm.shape[0] // B
+    b_lv = [bm.reshape(m0, B, R_)]
     for (Dinv_o, Ue, Uo, R, L) in levels:
         bb = b_lv[-1]
         m = bb.shape[0]
         ne = (m + 1) // 2
         no = m // 2
         be, bo = bb[0::2], bb[1::2]
-        bn = be.at[:no].add(-(R @ bo[:, :, None])[:, :, 0])
-        bn = bn.at[1:ne].add(-(L @ bo[: ne - 1, :, None])[:, :, 0])
+        bn = be.at[:no].add(-(R @ bo))
+        bn = bn.at[1:ne].add(-(L @ bo[: ne - 1]))
         b_lv.append(bn)
-    x = (base @ b_lv[-1].reshape(-1)).reshape(-1, B)
+    x = (base @ b_lv[-1].reshape(-1, R_)).reshape(-1, B, R_)
     for (Dinv_o, Ue, Uo, R, L), bb in zip(reversed(levels), reversed(b_lv[:-1])):
         m = bb.shape[0]
         no = m // 2
         bo = bb[1::2]
         # x_odd[t] = Dinv[t] (b_odd[t] - U[2t]^T x_e[t] - U[2t+1] x_e[t+1])
-        xe_r = jnp.concatenate([x[1:], jnp.zeros((1, B), x.dtype)], axis=0)
-        r = bo - (jnp.swapaxes(Ue, 1, 2) @ x[:no, :, None])[:, :, 0]
-        r = r - (Uo[:no] @ xe_r[:no, :, None])[:, :, 0]
-        xo = (Dinv_o @ r[:, :, None])[:, :, 0]
-        xn = jnp.zeros((m, B), x.dtype)
+        xe_r = jnp.concatenate([x[1:], jnp.zeros((1, B, R_), x.dtype)], axis=0)
+        r = bo - jnp.swapaxes(Ue, 1, 2) @ x[:no]
+        r = r - Uo[:no] @ xe_r[:no]
+        xo = Dinv_o @ r
+        xn = jnp.zeros((m, B, R_), x.dtype)
         xn = xn.at[0::2].set(x[: (m + 1) // 2])
         xn = xn.at[1::2].set(xo)
         x = xn
-    return x.reshape(-1)
+    x = x.reshape(-1, R_)
+    return x[:, 0] if vec else x
 
 
 def matvec(D: jnp.ndarray, U: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x for the block-tridiagonal (D, U).  x, y: [m*B]."""
+    """Y = A X for the block-tridiagonal (D, U).  x, y: [m*B] or [m*B, R]."""
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    R_ = xm.shape[1]
     m = D.shape[0]
-    xb = x.reshape(m, B)
-    y = (D @ xb[:, :, None])[:, :, 0]
-    xr = jnp.concatenate([xb[1:], jnp.zeros((1, B), x.dtype)], axis=0)
-    y = y + (U @ xr[:, :, None])[:, :, 0]
-    xl = jnp.concatenate([jnp.zeros((1, B), x.dtype), xb[:-1]], axis=0)
+    xb = xm.reshape(m, B, R_)
+    y = D @ xb
+    xr = jnp.concatenate([xb[1:], jnp.zeros((1, B, R_), x.dtype)], axis=0)
+    y = y + U @ xr
+    xl = jnp.concatenate([jnp.zeros((1, B, R_), x.dtype), xb[:-1]], axis=0)
     Ul = jnp.concatenate([jnp.zeros((1, B, B), x.dtype), U[:-1]], axis=0)
-    y = y + (jnp.swapaxes(Ul, 1, 2) @ xl[:, :, None])[:, :, 0]
-    return y.reshape(-1)
+    y = y + jnp.swapaxes(Ul, 1, 2) @ xl
+    y = y.reshape(-1, R_)
+    return y[:, 0] if vec else y
 
 
-def cr_solve(
-    D: jnp.ndarray,
-    U: jnp.ndarray,
-    b: jnp.ndarray,
-    refinement_steps: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve the banded SPD system A x = b.  Returns (x, ok).
-
-    Same numerical contract as dense_cholesky.cholesky_solve: Jacobi
-    equilibration, diagonal-boost retry on a non-finite factor, fixed
-    refinement sweeps against the *original* operator, last-finite-iterate
-    keep, ok=False on a non-finite result (LM rejects the step).
-    """
-    m = D.shape[0]
+def _factor_equilibrated(D: jnp.ndarray, U: jnp.ndarray):
+    """Jacobi-equilibrate and CR-factor the band, with the fp32
+    diagonal-boost retry on non-finite factors.  Returns ``solve_with``,
+    a closure solving A x = rhs ([n] or [n, R]) in the ORIGINAL scaling."""
     d = jnp.diagonal(D, axis1=1, axis2=2)  # [m, B]
     s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, D.dtype)))
     sr = jnp.concatenate([s[1:], jnp.ones((1, B), s.dtype)], axis=0)
@@ -251,12 +282,114 @@ def cr_solve(
         levels, base = factor(Ds, Us)
 
     def solve_with(rhs):
-        return sf * solve(levels, base, rhs * sf)
+        sc = sf if rhs.ndim == 1 else sf[:, None]
+        return sc * solve(levels, base, rhs * sc)
+
+    return solve_with
+
+
+def cr_solve(
+    D: jnp.ndarray,
+    U: jnp.ndarray,
+    b: jnp.ndarray,
+    refinement_steps: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the banded SPD system A x = b.  Returns (x, ok).
+
+    Same numerical contract as dense_cholesky.cholesky_solve: Jacobi
+    equilibration, diagonal-boost retry on a non-finite factor, fixed
+    refinement sweeps against the *original* operator, last-finite-iterate
+    keep, ok=False on a non-finite result (LM rejects the step).
+    """
+    solve_with = _factor_equilibrated(D, U)
 
     x = solve_with(b)
     for _ in range(refinement_steps):
         r = b - matvec(D, U, x)
         x2 = x + solve_with(r)
+        finite = jnp.isfinite(jnp.sum(x2))
+        x = jnp.where(finite, x2, x)
+
+    ok = jnp.all(jnp.isfinite(x))
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    return x, ok
+
+
+def cr_solve_woodbury(
+    D: jnp.ndarray,
+    U: jnp.ndarray,
+    b: jnp.ndarray,
+    Vob: jnp.ndarray,  # [n_ob, 6, 6] out-of-band block values A[rob, cob]
+    ob_i: jnp.ndarray,  # [n_ob] int32 index of rob in the loop-column set J
+    ob_j: jnp.ndarray,  # [n_ob] int32 index of cob in J
+    jrows: jnp.ndarray,  # [6k] int32 scalar rows of the J columns (k blocks)
+    refinement_steps: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve (B + P S P^T) x = b: banded + low-rank loop-closure blocks.
+
+    This is the TPU answer to the reference's fill-reducing sparse Cholesky
+    (reference: src/cuda_linear_solver.cpp:342-348): real SLAM covisibility
+    is "banded + a few long-range loop-closure blocks"; the band B factors
+    by cyclic reduction and the k loop columns are corrected by the
+    Woodbury identity
+
+        (B + P S P^T)^{-1} = B^{-1} - B^{-1} P (I + S G)^{-1} S P^T B^{-1},
+        G = P^T B^{-1} P,
+
+    which holds for SINGULAR S too (S has zero diagonal blocks: it carries
+    only the off-band coupling).  Cost: ONE multi-RHS CR solve with 6k+1
+    columns (the factor's block reads amortize across columns on the MXU),
+    one [6k, 6k] dense solve, and batched matvecs per refinement sweep.
+
+    B must be SPD for the CR factor; with LM damping it is, in practice —
+    a non-finite factor hits the boost retry and, failing that, ok=False
+    rejects the step (lambda grows, making B more diagonally dominant:
+    self-healing via the reference's own rho=-1 semantics).
+
+    Returns (x, ok).
+    """
+    n = b.shape[0]
+    r6 = jrows.shape[0]
+    dt = b.dtype
+
+    # S [6k, 6k]: symmetric scatter of the off-band blocks (zero diagonal)
+    n_ob = Vob.shape[0]
+    S = jnp.zeros((r6, r6), dt)
+    bi = jnp.broadcast_to(
+        ob_i[:, None, None] * 6 + jnp.arange(6)[None, :, None], (n_ob, 6, 6)
+    ).reshape(-1)
+    bj = jnp.broadcast_to(
+        ob_j[:, None, None] * 6 + jnp.arange(6)[None, None, :], (n_ob, 6, 6)
+    ).reshape(-1)
+    S = S.at[bi, bj].add(Vob.reshape(-1))
+    S = S.at[bj, bi].add(Vob.reshape(-1))
+
+    solve_with = _factor_equilibrated(D, U)
+
+    # one multi-RHS solve: [b | E], E = unit columns at jrows
+    E = jnp.zeros((n, r6), dt).at[jrows, jnp.arange(r6)].set(1.0)
+    Y = solve_with(jnp.concatenate([b[:, None], E], axis=1))
+    y, Z = Y[:, 0], Y[:, 1:]
+    G = Z[jrows, :]  # [6k, 6k]
+    T = jnp.eye(r6, dtype=dt) + S @ G
+    # factor the capacitance once per attempt: correct() is then a gather
+    # + one [n, 6k] matvec, cheap enough to run per refinement sweep.
+    # (TPU's LuDecomposition expander is f32-only; the band path is fp32 by
+    # design and the fp64 XLA path runs on CPU where f64 LU lowers fine.)
+    W2 = Z @ jnp.linalg.solve(T, S)
+
+    def correct(yv):
+        """Woodbury correction of a band solve yv = B^{-1} rhs."""
+        return yv - W2 @ yv[jrows]
+
+    def full_matvec(x):
+        extra = jnp.zeros(n, dt).at[jrows].add(S @ x[jrows])
+        return matvec(D, U, x) + extra
+
+    x = correct(y)
+    for _ in range(refinement_steps):
+        r = b - full_matvec(x)
+        x2 = x + correct(solve_with(r))
         finite = jnp.isfinite(jnp.sum(x2))
         x = jnp.where(finite, x2, x)
 

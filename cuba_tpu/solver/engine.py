@@ -47,6 +47,12 @@ PROFILE_ITEMS = (
 # divide the block grid exactly
 _BLOCK_PAD = 128
 
+# largest pose-block count the dense factorization handles: the remote TPU
+# compiler fails on the 6PB x 6PB dense image beyond ~P=4096 and the
+# crossover data says PCG already wins there anyway (docs/PERF_NOTES.md
+# "Large-P solver crossover"); "auto" hands bigger unbanded problems to PCG
+_DENSE_MAX_PB = 4096
+
 # Compiled functions cached by static spec (shapes/dtypes/config/kernels),
 # NOT by engine instance: re-initializing a same-shaped problem (the
 # reference's repeated `initialize(); optimize()` pattern,
@@ -407,24 +413,59 @@ class BlockSolverEngine:
         self.num_p, self.num_l = s.num_p, s.num_l
         self.pad_blocks = _pad_blocks(s.num_p)
         # band certification (host): block-tridiagonal CR applies when the
-        # Schur pattern's half-bandwidth fits 64 pose blocks per CR block
-        self.band_m = band_cr.certify(s.hsc_row, s.hsc_col, self.pad_blocks)
+        # Schur pattern's half-bandwidth fits 64 pose blocks per CR block.
+        # Long-range (loop closure) blocks don't fail certification — they
+        # become a Woodbury correction (band_cr.cr_solve_woodbury) when the
+        # loop-column set is small enough.
+        m_lr, ob_idx = band_cr.certify_lr(s.hsc_row, s.hsc_col, self.pad_blocks)
+        self.band_m = m_lr if ob_idx.size == 0 else 0
+        self.lr = None  # host-side Woodbury plan (XLA / non-v2 fallback path)
+        if m_lr >= 2 and ob_idx.size:
+            obr = np.asarray(s.hsc_row, np.int64)[ob_idx]
+            obc = np.asarray(s.hsc_col, np.int64)[ob_idx]
+            J = np.unique(np.concatenate([obr, obc]))
+            if J.size <= 64:
+                self.lr = dict(
+                    m=m_lr, obr=obr, obc=obc,
+                    ob_i=np.searchsorted(J, obr).astype(np.int32),
+                    ob_j=np.searchsorted(J, obc).astype(np.int32),
+                    jrows=(J[:, None] * 6 + np.arange(6)).reshape(-1).astype(np.int32),
+                )
         if config.solver == "band_cr" and not self.band_m:
             raise ValueError(
                 "solver='band_cr' requires a band-certified Schur pattern "
                 "(half-bandwidth <= 64 pose blocks after the locality "
-                "reorder); this problem is not banded — use "
+                "reorder); this problem is not banded — use 'band_lr' "
+                "(banded + loop closures), 'dense_cholesky' or 'pcg'"
+            )
+        if config.solver == "band_lr" and self.lr is None and not self.band_m:
+            raise ValueError(
+                "solver='band_lr' requires a banded-plus-low-rank Schur "
+                "pattern (in-band half-bandwidth <= 64 pose blocks and at "
+                "most 64 loop-closure pose-block columns) — use "
                 "'dense_cholesky' or 'pcg'"
             )
         # "auto" picks the structure-exploiting solver exactly like the
         # reference's sparse Cholesky + ordering does implicitly
         # (cuda_linear_solver.cpp:342-348): banded pose graph -> cyclic
-        # reduction, anything else -> dense MXU factorization
+        # reduction, banded + loop closures -> CR + Woodbury, anything
+        # else -> dense MXU factorization while it fits the compile
+        # ceiling, then matrix-free PCG (docs/PERF_NOTES.md crossover).
         self.solver = config.solver
         if config.solver == "auto":
             # small systems factor fastest dense (chol(6PB) is ~1ms below
             # PB=512); CR's batched-level overhead pays off from m >= 8
-            self.solver = "band_cr" if self.band_m >= 8 else "dense_cholesky"
+            if self.band_m >= 8:
+                self.solver = "band_cr"
+            elif self.lr is not None and m_lr >= 8:
+                self.solver = "band_lr"
+            elif self.pad_blocks <= _DENSE_MAX_PB:
+                self.solver = "dense_cholesky"
+            else:
+                self.solver = "pcg"
+        if self.solver == "band_lr" and self.lr is None:
+            # pure band after all (explicit band_lr on a loop-free graph)
+            self.solver = "band_cr"
 
         dt = np.dtype(str(self.dtype))
         idt = np.int32
@@ -605,6 +646,12 @@ class BlockSolverEngine:
             str(self.dtype),
             str(self.chi_dtype),
             cfg.solver,
+            # the RESOLVED solver + structure facts that pick it: two
+            # same-shaped problems under solver="auto" may resolve
+            # differently (banded vs not) and must not share compiled fns
+            self.solver,
+            self.band_m,
+            self._lr_key(),
             cfg.max_inner_iterations,
             cfg.tau,
             cfg.scale_eps,
@@ -617,6 +664,18 @@ class BlockSolverEngine:
             self.use_mxu,
             self.mxu_interpret,
             self._mxu_sig(),
+        )
+
+    def _lr_key(self):
+        """Hashable signature of the band+low-rank plan: the out-of-band
+        block indices are embedded as STATIC gather indices in the traced
+        fallback path, so the compiled-function cache must key on them."""
+        if self.lr is None:
+            return None
+        return (
+            self.lr["m"],
+            tuple(self.lr["obr"].tolist()),
+            tuple(self.lr["obc"].tolist()),
         )
 
     def _mxu_sig(self):
@@ -641,6 +700,7 @@ class BlockSolverEngine:
             p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
             aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
             p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack,
+            p.lr_k, p.lr_nob,
         )
 
     # ------------------------------------------------------------------
@@ -767,6 +827,41 @@ class BlockSolverEngine:
                     interpret=interp,
                 )
                 return xp, xl, ok
+            if self.solver == "band_lr":
+                # banded + loop closures: CR factor on the in-band part,
+                # Woodbury correction over the loop-closure columns — the
+                # TPU answer to the reference's fill-reducing sparse
+                # Cholesky (cuda_linear_solver.cpp:342-348)
+                if plans.v2 and plans.lr_nob:
+                    Db, Ub, Vob = OB(mxu.schur_band_mxu(
+                        HppT, W, HplT, lam, self.num_p, self.pad_blocks,
+                        plans, mc, dt, interpret=interp, with_ob=True,
+                    ))
+                    ob_i, ob_j, jrows = mc.ob_i, mc.ob_j, mc.ob_jrows
+                else:
+                    Dm = OB(mxu.schur_dense_mxu(
+                        HppT, W, HplT, lam, self.num_p, self.pad_blocks,
+                        plans, mc, dt, interpret=interp,
+                    ))
+                    Db, Ub = band_cr.from_dense(Dm, self.lr["m"])
+                    Vob = band_cr.ob_from_dense(Dm, self.lr["obr"], self.lr["obc"])
+                    ob_i, ob_j, jrows = (
+                        jnp.asarray(self.lr["ob_i"]),
+                        jnp.asarray(self.lr["ob_j"]),
+                        jnp.asarray(self.lr["jrows"]),
+                    )
+                n = 6 * self.pad_blocks
+                rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
+                refine = self.config.refinement_steps if dt == jnp.float32 else 0
+                x, ok = OB(band_cr.cr_solve_woodbury(
+                    Db, Ub, rhs, Vob, ob_i, ob_j, jrows, refine,
+                ))
+                xp = x[: 6 * self.num_p].reshape(self.num_p, 6)
+                xl = mxu.back_substitute_mxu(
+                    iv9, HllT, HplT, g12, xp, self.num_l, plans, mc,
+                    interpret=interp,
+                )
+                return xp, xl, ok
             Dm = OB(mxu.schur_dense_mxu(
                 HppT, W, HplT, lam, self.num_p, self.pad_blocks, plans, mc, dt,
                 interpret=interp,
@@ -810,6 +905,16 @@ class BlockSolverEngine:
                 if self.solver == "band_cr":
                     Db, Ub = band_cr.from_dense(Dm, self.band_m)
                     x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
+                elif self.solver == "band_lr":
+                    Db, Ub = band_cr.from_dense(Dm, self.lr["m"])
+                    Vob = band_cr.ob_from_dense(Dm, self.lr["obr"], self.lr["obc"])
+                    x, ok = band_cr.cr_solve_woodbury(
+                        Db, Ub, rhs, Vob,
+                        jnp.asarray(self.lr["ob_i"]),
+                        jnp.asarray(self.lr["ob_j"]),
+                        jnp.asarray(self.lr["jrows"]),
+                        refine,
+                    )
                 else:
                     x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
                 xp = x[: 6 * self.num_p].reshape(self.num_p, 6)

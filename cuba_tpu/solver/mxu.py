@@ -82,6 +82,11 @@ class MXUPlans:
     # how the schur local-id trio shipped: "p3" (li|lj|lk in one int32),
     # "p2" (li|lj packed, lk separate), "none" (separate tables)
     sc_pack: str = "none"
+    # band + low-rank (loop closure) Woodbury plan: k loop-column pose
+    # blocks and n_ob out-of-band Hsc blocks (0 when the pattern is pure
+    # band or the loop-column set exceeds the Woodbury gate)
+    lr_k: int = 0
+    lr_nob: int = 0
 
 
 class MXUConsts(NamedTuple):
@@ -157,6 +162,13 @@ class MXUConsts(NamedTuple):
     res_perm: jnp.ndarray = np.zeros(1, np.int32)  # [p_res_pad] src column order
     wb_rg_m: jnp.ndarray = np.zeros(1, np.int32)
     wb_rg_s: jnp.ndarray = np.zeros(1, np.int32)
+    # band+low-rank (Woodbury) constants: rank-major slots of the
+    # out-of-band blocks, their loop-column-local (i, j) ids, and the
+    # scalar rows of the loop columns (dummies when plans.lr_nob == 0)
+    ob_rkey: jnp.ndarray = np.zeros(1, np.int32)  # [n_ob]
+    ob_i: jnp.ndarray = np.zeros(1, np.int32)  # [n_ob]
+    ob_j: jnp.ndarray = np.zeros(1, np.int32)  # [n_ob]
+    ob_jrows: jnp.ndarray = np.zeros(1, np.int32)  # [6*lr_k]
 
 
 def plan_schur_for(s: BAStructure):
@@ -388,6 +400,8 @@ def plan_mxu(
     up = lo = up2 = cl2 = None
     v2 = False
     maxw = maxwc = 0
+    lr_k = lr_nob = 0
+    ob_consts = {}
     i32 = np.int32
     if sc is not None and sc.ok:
         gid = sc.gid.astype(np.int64)
@@ -433,6 +447,24 @@ def plan_mxu(
             occ2[dd // 64, dd // 128] = 1
             occ2 = occ2.reshape(-1)
             v2 = up2.ok and cl2.ok
+            # band + low-rank (loop closure): identify out-of-band blocks
+            # and their loop-column set J.  The Woodbury solver corrects
+            # the CR band factor with 6*|J| extra RHS columns; gate at 64
+            # pose blocks (384 columns) like the CR bandwidth itself.
+            from cuba_tpu.solver import band_cr as _band_cr
+
+            _m_lr, ob_idx = _band_cr.certify_lr(hr, hc, PB)
+            if v2 and _m_lr >= 2 and ob_idx.size:
+                obr, obc = hr[ob_idx], hc[ob_idx]
+                J = np.unique(np.concatenate([obr, obc]))
+                if J.size <= 64:
+                    lr_k, lr_nob = int(J.size), int(ob_idx.size)
+                    ob_consts = dict(
+                        ob_rkey=rkey[ob_idx].astype(i32),
+                        ob_i=np.searchsorted(J, obr).astype(i32),
+                        ob_j=np.searchsorted(J, obc).astype(i32),
+                        ob_jrows=(J[:, None] * 6 + np.arange(6)).reshape(-1).astype(i32),
+                    )
             # band (k, e) occupancy for compact_to_band: D_k always carries
             # the damped diagonal; U_k only when adjacent-tile blocks exist
             occ_band = np.zeros((PB // 64) * 2, i32)
@@ -523,6 +555,7 @@ def plan_mxu(
         rows_ok, p_res_pad, xwg_m, xwg_s,
         paw_m, paw_s, paw_b,
         rg_m, rg_s,
+        lr_k=lr_k, lr_nob=lr_nob,
     )
     if not ok:
         return plans, None
@@ -636,6 +669,7 @@ def plan_mxu(
         hsc_col=dummy,
         **v2_consts,
         **rows_consts,
+        **ob_consts,
     )
     return plans, consts
 
@@ -971,12 +1005,19 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
 
 
 def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
-                   plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
+                   plans: MXUPlans, mc: MXUConsts, dtype, interpret=False,
+                   with_ob=False):
     """Damped Schur complement in block-tridiagonal storage (D, U) for the
     cyclic-reduction solver (solver/band_cr.py), never materializing the
     dense matrix.  Requires the v2 compact formation plans and a
     band-certified structure (band_cr.certify); the engine falls back to
-    from_dense(schur_dense_mxu(...)) otherwise."""
+    from_dense(schur_dense_mxu(...)) otherwise.
+
+    ``with_ob=True`` additionally returns the OUT-of-band (loop closure)
+    block values [n_ob, 6, 6] gathered from the compact rank-major table —
+    compact_to_band's one-hot selection drops them from (D, U) naturally,
+    and band_cr.cr_solve_woodbury folds them back in as a low-rank
+    correction (plans.lr_nob > 0 required)."""
     assert plans.v2 and pad_blocks == plans.pad_blocks
     PB = pad_blocks
     win = segmm.schur_fused(
@@ -1005,6 +1046,11 @@ def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     )
     M = PB // 64
     arr = band.reshape(M, 384, 2, 384).astype(dtype)
+    if with_ob:
+        # sign: the combined table holds +sum(W Hpl^T); the Schur block is
+        # its negation (band = diag - (up + mirrors), compact_to_band doc)
+        Vob = -(upT2[:, mc.ob_rkey].T.reshape(-1, 6, 6)).astype(dtype)
+        return arr[:, :, 0, :], arr[:, :, 1, :], Vob
     return arr[:, :, 0, :], arr[:, :, 1, :]
 
 
