@@ -507,6 +507,63 @@ class SchurPlan:
     ok: bool
 
 
+def _chunk_by_landmark(mi, mj, mk, col, chunk, slot_block):
+    """Greedy landmark-granular chunking of the (landmark-major sorted)
+    triplet streams: close a chunk early (pad with -1) whenever adding the
+    next landmark's triplets would overflow the chunk capacity or push the
+    chunk's slot window past 2*slot_block.  With no violations this packs
+    exactly densely (same output as the plain reshape).  Returns padded
+    (mi, mj, mk, num_chunks)."""
+    n = mi.size
+    lm = col[mi]
+    starts = np.flatnonzero(np.concatenate(([True], lm[1:] != lm[:-1])))
+    ends = np.append(starts[1:], n)
+    counts = ends - starts
+    lo_r = np.minimum.reduceat(np.minimum(mi, mj), starts)
+    hi_r = np.maximum.reduceat(np.maximum(mi, mj), starts)
+    if int(counts.max()) > chunk or int((hi_r - lo_r).max()) >= 2 * slot_block:
+        # a single landmark exceeds the chunk/window — no chunking helps;
+        # dense packing lets the caller mark the plan infeasible
+        C = max((n + chunk - 1) // chunk, 1)
+        pad = C * chunk - n
+        return (
+            np.concatenate([mi, np.full(pad, -1, np.int64)]),
+            np.concatenate([mj, np.full(pad, -1, np.int64)]),
+            np.concatenate([mk, np.full(pad, -1, np.int64)]),
+            C,
+        )
+    win = 2 * slot_block
+    nruns = starts.size
+    new_start = np.empty(nruns, np.int64)  # padded position of each run
+    cid = 0
+    cur_n = 0
+    cur_lo = np.int64(0)
+    cur_hi = np.int64(-1)
+    for r in range(nruns):
+        c_, l_, h_ = counts[r], lo_r[r], hi_r[r]
+        if cur_n:
+            nlo = min(cur_lo, l_)
+            nhi = max(cur_hi, h_)
+            if cur_n + c_ > chunk or nhi >= (nlo // slot_block) * slot_block + win:
+                cid += 1
+                cur_n = 0
+        if cur_n == 0:
+            cur_lo, cur_hi = l_, h_
+        else:
+            cur_lo = min(cur_lo, l_)
+            cur_hi = max(cur_hi, h_)
+        new_start[r] = cid * chunk + cur_n
+        cur_n += c_
+    C = cid + 1
+    pos = np.repeat(new_start - starts, counts) + np.arange(n, dtype=np.int64)
+    out = []
+    for a in (mi, mj, mk):
+        p = np.full(C * chunk, -1, np.int64)
+        p[pos] = a
+        out.append(p)
+    return out[0], out[1], out[2], C
+
+
 def plan_schur(
     mul_i: np.ndarray,
     mul_j: np.ndarray,
@@ -518,6 +575,7 @@ def plan_schur(
     slot_block: int = 512,
     max_kwin: int = 1024,
     precomputed=None,
+    col: "np.ndarray" = None,
 ) -> SchurPlan:
     """Sort triplets by landmark (== by slot i, since slots are landmark-major)
     and derive per-chunk slot windows + COMPACT output block lists (each chunk
@@ -529,29 +587,47 @@ def plan_schur(
     emits alongside the triplets (BAStructure.schur_native) — same layout,
     zero extra work here.  Otherwise dispatches to the standalone C++
     planner (cuba_tpu/native) when available — this is ~0.6s of pure
-    indexing at kitti00 scale in NumPy, ~60ms in C++."""
+    indexing at kitti00 scale in NumPy, ~60ms in C++.
+
+    When the densely-packed chunking violates the 2-block slot window (a
+    chunk mixing landmarks whose slot ranges span >= 2*slot_block — real
+    loop-closure covisibility can do this marginally), the triplets are
+    RE-CHUNKED at landmark granularity with padding so every chunk's window
+    fits (``col`` required: slot -> landmark).  A failed fast plan
+    (precomputed or standalone C++) falls through to this path instead of
+    disabling the MXU pipeline."""
     from cuba_tpu import native
 
     if precomputed is not None and (chunk, slot_block, max_kwin) == (1024, 512, 1024):
         kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = precomputed
-        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk, gid,
-                         n_slot_pad, n_hsc_pad, ok)
+        if ok or col is None:
+            return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
+                             gid, n_slot_pad, n_hsc_pad, ok)
+        # fall through: re-chunk below
 
     nat = native.schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin)
     if nat is not None:
         kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = nat
-        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk, gid,
-                         n_slot_pad, n_hsc_pad, ok)
+        if ok or col is None:
+            return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
+                             gid, n_slot_pad, n_hsc_pad, ok)
+        # fall through: re-chunk below
 
     n_mul = int(mul_i.size)
     order = np.argsort(mul_i, kind="stable")  # landmark-major slot order
     mi, mj, mk = mul_i[order], mul_j[order], mul_k[order]
-    C = max((n_mul + chunk - 1) // chunk, 1)
-    pad = C * chunk - n_mul
     big = np.int64(1) << 40
-    mi = np.concatenate([mi, np.full(pad, -1, np.int64)])
-    mj = np.concatenate([mj, np.full(pad, -1, np.int64)])
-    mk = np.concatenate([mk, np.full(pad, -1, np.int64)])
+    if col is not None and n_mul:
+        mi, mj, mk, C = _chunk_by_landmark(
+            mi.astype(np.int64), mj.astype(np.int64), mk.astype(np.int64),
+            np.asarray(col, np.int64), chunk, slot_block,
+        )
+    else:
+        C = max((n_mul + chunk - 1) // chunk, 1)
+        pad = C * chunk - n_mul
+        mi = np.concatenate([mi, np.full(pad, -1, np.int64)])
+        mj = np.concatenate([mj, np.full(pad, -1, np.int64)])
+        mk = np.concatenate([mk, np.full(pad, -1, np.int64)])
     mi2, mj2, mk2 = (a.reshape(C, chunk) for a in (mi, mj, mk))
     valid = mi2 >= 0
     smin = np.where(valid, np.minimum(mi2, mj2), big).min(axis=1)

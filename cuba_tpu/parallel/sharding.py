@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.ops import robust, se3, smallmat
-from cuba_tpu.solver import assembly, dense_cholesky
+from cuba_tpu.solver import assembly, dense_cholesky, pcg
 from cuba_tpu.solver.assembly import EdgeConsts
 from cuba_tpu.solver.structure import BAStructure
 
@@ -46,6 +46,43 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 AXIS = "landmarks"
+
+
+class ShardedSchurOperator(NamedTuple):
+    """Matrix-free Schur operator over landmark-sharded slot tables.
+
+    Per matvec: the shard-local gather/segment work runs on each device's
+    OWN slots, then ONE [P, 6] psum (~32 KB at kitti00 scale) combines the
+    pose-side contributions over ICI — the scalable multichip solve path
+    (the replicated dense/band factorization does O(P^2) work per device;
+    this does O(n_hpl / n_devices) + one small collective per CG step)."""
+
+    Hpp_d: jnp.ndarray  # [P, 6, 6] damped, replicated (already psum'd)
+    Hpl: jnp.ndarray  # [n_hpl_local, 6, 3] shard-local slots
+    W: jnp.ndarray  # [n_hpl_local, 6, 3] Hpl @ invHll
+    hpl_row: jnp.ndarray  # local slot -> global pose row
+    hpl_col: jnp.ndarray  # local slot -> local landmark col
+    num_p: int
+    num_l: int  # local landmark pad
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = jax.ops.segment_sum(
+            jnp.einsum("kij,ki->kj", self.Hpl, x[self.hpl_row], precision="highest"),
+            self.hpl_col,
+            num_segments=self.num_l,
+        )
+        y2 = jax.ops.segment_sum(
+            jnp.einsum("kij,kj->ki", self.W, a[self.hpl_col], precision="highest"),
+            self.hpl_row,
+            num_segments=self.num_p,
+        )
+        y2 = jax.lax.psum(y2, AXIS)
+        return jnp.einsum("pij,pj->pi", self.Hpp_d, x, precision="highest") - y2
+
+    def block_diagonal(self) -> jnp.ndarray:
+        contrib = jnp.einsum("kil,kjl->kij", self.W, self.Hpl)
+        corr = jax.ops.segment_sum(contrib, self.hpl_row, num_segments=self.num_p)
+        return self.Hpp_d - jax.lax.psum(corr, AXIS)
 
 
 class ShardedConsts(NamedTuple):
@@ -257,13 +294,19 @@ class MultiChipEngine:
         if config.solver == "band_cr" and not self.band_m:
             raise ValueError(
                 "solver='band_cr' requires a band-certified Schur pattern; "
-                "this problem is not banded — use 'dense_cholesky'"
+                "this problem is not banded — use 'dense_cholesky' or 'pcg'"
             )
-        self.solver = (
-            "band_cr"
-            if config.solver in ("auto", "band_cr") and self.band_m
-            else "dense_cholesky"
-        )
+        if config.solver == "pcg":
+            # matrix-free sharded PCG: the only solve path whose per-device
+            # work SHRINKS with the device count (the band/dense factor is
+            # replicated) — the large-P multichip configuration
+            self.solver = "pcg"
+        elif config.solver in ("auto", "band_cr") and self.band_m:
+            self.solver = "band_cr"
+        elif config.solver == "auto" and self.pad_blocks > 4096:
+            self.solver = "pcg"  # dense image exceeds the compile ceiling
+        else:
+            self.solver = "dense_cholesky"
         self._jit_cache = {}
 
     # --- shard-local math --------------------------------------------------
@@ -297,6 +340,7 @@ class MultiChipEngine:
 
         n_hsc = int(self.problem.consts.hsc_row.shape[0])
 
+        use_pcg = self.solver == "pcg"
         use_band = self.solver == "band_cr" and n_hsc > 0
         if use_band:
             from cuba_tpu.solver import band_cr
@@ -367,6 +411,25 @@ class MultiChipEngine:
                 )[:n_hsc]
                 blocks = jax.lax.psum(blocks, AXIS)
                 bsc = bp + jax.lax.psum(bsc_local, AXIS)
+                if use_pcg:
+                    # sharded matrix-free PCG: per-device O(local slots)
+                    # matvec + one [P,6] psum per CG step; no replicated
+                    # factorization at all (ShardedSchurOperator docstring)
+                    op = ShardedSchurOperator(
+                        Hpp_d, Hpl, W, hpl_row, hpl_col, num_p, num_l_pad
+                    )
+                    xp, ok = pcg.pcg_solve(
+                        op, bsc, cfg.pcg_max_iterations, cfg.pcg_tol
+                    )
+                    contrib = jnp.einsum(
+                        "kij,ki->kj", Hpl, xp[hpl_row], precision="highest"
+                    )
+                    cl = bl - jax.ops.segment_sum(
+                        contrib, hpl_col, num_segments=num_l_pad
+                    )
+                    xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
+                    xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
+                    return xp, xl, ok, bsc
                 n = 6 * PB
                 rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(bsc.reshape(-1))
                 refine = cfg.refinement_steps if dt == jnp.float32 else 0

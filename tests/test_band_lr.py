@@ -21,8 +21,13 @@ from cuba_tpu.solver.structure import build_structure_from_arrays
 KERNELS = ((robust.HUBER, float(np.sqrt(5.991))), (robust.HUBER, float(np.sqrt(7.815))))
 
 
-def _loop_graph(num_p=200, num_l=1800, seam=8, seed=3):
-    """Sequential covisibility plus a loop closure at the seam."""
+def _loop_graph(num_p=200, num_l=1800, chords=4, seed=3):
+    """Sequential covisibility plus FOLD-RESISTANT long-range chords.
+
+    A single seam (first<->last poses) is handled by the structure pass's
+    cycle-fold permutation and never reaches the Woodbury solver; multiple
+    incommensurate chords cannot be band-ified by any single fold, so they
+    exercise the band+low-rank path."""
     rng = np.random.default_rng(seed)
     qs = np.tile(np.array([0.0, 0, 0, 1]), (num_p, 1))
     ts = np.cumsum(rng.normal(0.1, 0.02, size=(num_p, 3)), axis=0)
@@ -35,11 +40,17 @@ def _loop_graph(num_p=200, num_l=1800, seam=8, seed=3):
     for lm in range(num_l):
         base = (lm * num_p) // num_l
         for kk in range(3):
-            mp.append((base + kk) % num_p)
+            mp.append(min(base + kk, num_p - 1))
             ml.append(lm)
-    for lm in range(seam):  # first landmarks re-observed from the last poses
-        mp.append(num_p - 1 - lm)
-        ml.append(lm)
+    # chords: re-observe a handful of landmarks from poses ~1/3 and ~2/3
+    # of the trajectory away — no cycle fold makes ALL of these local
+    lm_at = lambda pose: (pose * num_l) // num_p  # landmark anchored at pose
+    for c in range(chords):
+        src = (c * 2 + 1) * num_p // (2 * chords + 1)
+        for dst_frac in (3, 5):
+            dst = (src + dst_frac * num_p // 7) % num_p
+            mp.append(dst)
+            ml.append(lm_at(src))
     mp = np.asarray(mp, np.int32)
     ml = np.asarray(ml, np.int32)
     mz = rng.normal(size=(len(mp), 2)) * 10 + np.array([320.0, 240])
@@ -124,7 +135,7 @@ def test_engine_band_lr_matches_dense_solver():
 def test_auto_picks_band_lr_at_scale():
     """auto routes banded+loop-closure patterns to band_lr once the band
     pays off (m >= 8), instead of degrading to dense."""
-    s = _loop_graph(num_p=1100, num_l=6600, seam=6, seed=5)
+    s = _loop_graph(num_p=1100, num_l=6600, chords=4, seed=5)
     eng = BlockSolverEngine(
         s, KERNELS, BAConfig(dtype=jnp.float32, mxu="off", solver="auto")
     )
@@ -139,7 +150,8 @@ def test_auto_picks_band_lr_at_scale():
 def test_band_lr_mxu_interpret_parity():
     """The MXU band_lr path (compact band formation + ob gather) matches
     the XLA dense-based path in interpret mode."""
-    s = _loop_graph(num_p=140, num_l=1200, seam=5, seed=7)
+    # chords must span >= 2 CR tiles (128 poses) to stay out-of-band
+    s = _loop_graph(num_p=300, num_l=2400, chords=3, seed=7)
     cfgs = {
         "xla": BAConfig(dtype=jnp.float32, mxu="off", solver="band_lr"),
         "mxu": BAConfig(dtype=jnp.float32, mxu="interpret", solver="band_lr"),
@@ -156,9 +168,11 @@ def test_band_lr_mxu_interpret_parity():
     np.testing.assert_allclose(chis["xla"][:n], chis["mxu"][:n], rtol=2e-4)
 
 
-def test_synthetic_loop_closure_pattern():
-    """generate(loop_closure=True) produces a banded + corner-block Schur
-    pattern: certify fails, certify_lr succeeds with a small column set."""
+def test_synthetic_loop_closure_folds_to_band():
+    """generate(loop_closure=True) makes the temporal pose order circular;
+    the structure pass's cycle-fold permutation (the METIS-ordering
+    analogue, structure._pose_band_perm) restores a pure band, so the loop
+    trajectory rides the fast band_cr path with no low-rank correction."""
     prob = synthetic.generate(
         num_poses=300, num_landmarks=3000, mean_obs_per_landmark=5.0,
         stereo_fraction=0.2, seed=1, loop_closure=True,
@@ -173,18 +187,48 @@ def test_synthetic_loop_closure_pattern():
         prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
         prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
     )
+    assert s.pose_rank is not None  # the fold was applied
     pad = 384
-    assert band_cr.certify(s.hsc_row, s.hsc_col, pad) == 0
-    m, ob = band_cr.certify_lr(s.hsc_row, s.hsc_col, pad)
-    assert m == pad // 64 and ob.size > 0
-    r = np.asarray(s.hsc_row)[ob]
-    c = np.asarray(s.hsc_col)[ob]
-    J = np.unique(np.concatenate([r, c]))
-    assert J.size <= 64  # Woodbury-feasible loop-column set
-    # the engine must converge on it under auto
+    assert band_cr.certify(s.hsc_row, s.hsc_col, pad) == pad // 64
+    # the folded pattern must certify and solve on the band path (auto
+    # still picks dense below m=8 — it's faster there; force band_cr)
     eng = BlockSolverEngine(
-        s, KERNELS, BAConfig(dtype=jnp.float64, mxu="off", solver="auto")
+        s, KERNELS, BAConfig(dtype=jnp.float64, mxu="off", solver="band_cr")
     )
+    assert eng.band_m == pad // 64
     res = eng.optimize(None, 4)
     chis = np.asarray(res.chis)[: int(res.niters)]
     assert np.all(np.isfinite(chis)) and chis[-1] < chis[0]
+
+
+def test_pose_fold_preserves_solution():
+    """The pose permutation is internal: the LM trajectory matches the
+    unfolded problem's (solved dense, no fold) to parity grade."""
+    num_p, num_l = 160, 1500
+    prob = synthetic.generate(
+        num_poses=num_p, num_landmarks=num_l, mean_obs_per_landmark=4.0,
+        stereo_fraction=0.2, seed=4, loop_closure=True,
+    )
+    cams = np.tile(prob.cam, (num_p, 1))
+    fixed_p = np.zeros(num_p, bool)
+    fixed_p[prob.fixed_poses] = True
+    fixed_l = np.zeros(num_l, bool)
+    s = build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+    if s.pose_rank is None:
+        return  # fold not triggered at this scale; nothing to compare
+    chis = {}
+    for solver in ("dense_cholesky", "band_cr"):
+        eng = BlockSolverEngine(
+            s, KERNELS, BAConfig(dtype=jnp.float64, mxu="off", solver=solver)
+        )
+        r = eng.optimize(None, 4)
+        chis[solver] = np.asarray(r.chis)[: int(r.niters)]
+    n = min(len(chis["dense_cholesky"]), len(chis["band_cr"]))
+    assert n >= 3
+    np.testing.assert_allclose(
+        chis["dense_cholesky"][:n], chis["band_cr"][:n], rtol=1e-8
+    )

@@ -1,0 +1,99 @@
+"""Device-side derivation of wire-compressed index tables (mxu.derive_consts).
+
+The "dv" schur-id mode ships ONLY lk; li/lj are rebuilt on device from
+hpl_col via the canonical triplet enumeration (landmark-major, i-major),
+and the rank-order pose gather ids are rebuilt from res_perm — together
+~7 MB less ctor wire at kitti00 scale (docs/PERF_NOTES.md).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cuba_tpu.io import synthetic
+from cuba_tpu.solver import mxu
+from cuba_tpu.solver.structure import build_structure_from_arrays
+
+
+def _structure(num_p=220, num_l=6000, seed=0, loop=False):
+    prob = synthetic.generate(
+        num_poses=num_p, num_landmarks=num_l, mean_obs_per_landmark=5.5,
+        stereo_fraction=0.25, seed=seed, loop_closure=loop,
+    )
+    cams = np.tile(prob.cam, (num_p, 1))
+    fixed_p = np.zeros(num_p, bool)
+    fixed_p[prob.fixed_poses] = True
+    fixed_l = np.zeros(num_l, bool)
+    return build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+
+
+def _derived(s, pad_blocks=256):
+    plans, consts = mxu.plan_mxu(s, pad_blocks, need_dense=True)
+    assert plans.ok
+    sch = plans.schur
+    sc_dv = None
+    if plans.sc_pack == "dv":
+        sc_dv = (s.n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri,
+                 sch.num_chunks)
+    mc = type(consts)(**{k: jnp.asarray(v) for k, v in consts._asdict().items()})
+    out = mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok,
+                            plans.sc_pack, sc_dv)
+    return plans, consts, out
+
+
+def test_dv_mode_chosen_and_exact():
+    s = _structure()
+    plans, consts, out = _derived(s)
+    assert plans.sc_pack == "dv"  # canonical generation order holds
+    assert consts.sc_lij.size == 1  # nothing but lk on the wire
+    np.testing.assert_array_equal(np.asarray(out.sc_li),
+                                  np.asarray(plans.schur.li, np.int32))
+    np.testing.assert_array_equal(np.asarray(out.sc_lj),
+                                  np.asarray(plans.schur.lj, np.int32))
+
+
+def test_dv_mode_with_loop_closures():
+    s = _structure(loop=True, seed=2)
+    plans, consts, out = _derived(s)
+    assert plans.sc_pack == "dv"
+    np.testing.assert_array_equal(np.asarray(out.sc_li),
+                                  np.asarray(plans.schur.li, np.int32))
+    np.testing.assert_array_equal(np.asarray(out.sc_lj),
+                                  np.asarray(plans.schur.lj, np.int32))
+
+
+def test_gidr_derivation_matches_host():
+    s = _structure()
+    plans, consts, out = _derived(s)
+    if consts.res_perm.size <= 1:
+        return  # rank-gather plan absent at this scale
+    prank = mxu.pose_ranks(s)
+    for name, pidx, epad in (
+        ("pose_gidr_m", s.mono.pose_idx, plans.e_pad_m),
+        ("pose_gidr_s", s.stereo.pose_idx, plans.e_pad_s),
+    ):
+        ref = np.full(epad, -1, np.int32)
+        ref[: len(pidx)] = prank[np.asarray(pidx, np.int64)]
+        np.testing.assert_array_equal(np.asarray(getattr(out, name)), ref)
+
+
+def test_canonicity_check_rejects_reordered_streams():
+    """A non-canonical triplet order must fall back to a packed wire mode
+    (the derivation would silently rebuild the wrong ids otherwise)."""
+    s = _structure(num_p=60, num_l=800)
+    sc = mxu.plan_schur_for(s)
+    col = np.asarray(s.hpl_col)
+    assert mxu._canonical_schur_ntri(sc, col) > 0
+    # swap two interior triplets -> not canonical any more
+    li = np.asarray(sc.li).copy()
+    lj = np.asarray(sc.lj).copy()
+    k = np.flatnonzero(li >= 0)[10:12]
+    li[k[0]], li[k[1]] = li[k[1]], li[k[0]]
+    lj[k[0]], lj[k[1]] = lj[k[1]], lj[k[0]]
+    import dataclasses
+
+    sc2 = dataclasses.replace(sc, li=li, lj=lj)
+    assert mxu._canonical_schur_ntri(sc2, col) == -1

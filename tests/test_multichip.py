@@ -120,3 +120,32 @@ def test_multichip_band_and_dense_parity():
     assert n >= 3
     rel = np.abs(np.array(chis_b[:n]) - np.array(chis_d[:n])) / np.abs(np.array(chis_d[:n]))
     assert np.all(rel < 1e-5), list(zip(chis_b[:n], chis_d[:n]))
+
+
+def test_multichip_pcg_parity():
+    """The sharded matrix-free PCG solver (one [P,6] psum per CG step, no
+    replicated factorization) matches the dense multichip path — the
+    large-P multichip configuration where per-device solve work must
+    SHRINK with the device count."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    prob = synthetic.generate(num_poses=12, num_landmarks=120, seed=19)
+    ba = synthetic.build_graph(prob)
+    ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
+    ba.initialize()
+    mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
+    e_pcg = MultiChipEngine(
+        ba._engine.structure, ba._kernels, BAConfig(solver="pcg"), mesh
+    )
+    assert e_pcg.solver == "pcg"
+    e_dense = MultiChipEngine(
+        ba._engine.structure, ba._kernels, BAConfig(solver="dense_cholesky"), mesh
+    )
+    chis_p, *_ = e_pcg.optimize(5)
+    chis_d, *_ = e_dense.optimize(5)
+    n = min(len(chis_p), len(chis_d))
+    assert n >= 3
+    rel = np.abs(np.array(chis_p[:n]) - np.array(chis_d[:n])) / np.abs(
+        np.array(chis_d[:n])
+    )
+    assert np.all(rel < 1e-5), list(zip(chis_p[:n], chis_d[:n]))
