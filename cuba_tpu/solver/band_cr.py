@@ -266,23 +266,21 @@ def _factor_equilibrated(D: jnp.ndarray, U: jnp.ndarray):
     eyeB = jnp.eye(B, dtype=D.dtype)
 
     if D.dtype == jnp.float32:
-
-        def boost_cond(c):
-            delta, lv, base, tries = c
-            bad = ~jnp.isfinite(jnp.sum(base))
-            for (Dinv_o, *_rest) in lv:
-                bad = bad | ~jnp.isfinite(jnp.sum(Dinv_o[-1]))
-            return bad & (tries < 4)
-
-        def boost_body(c):
-            delta, lv, base, tries = c
-            delta = jnp.where(delta == 0, jnp.float32(1e-5), delta * 32.0)
-            lv2, base2 = factor(Ds + delta * eyeB[None], Us)
-            return delta, lv2, base2, tries + 1
-
+        # fp32 diagonal-boost retry as ONE lax.cond, not a while_loop: the
+        # loop carried the whole factor (5 levels x ~13 MB) through every
+        # iteration check, costing ~8 ms/attempt at kitti00 scale even when
+        # no boost fired (measured, tools/profile_crsolve.py).  One retry at
+        # a strong delta suffices — if that still fails, ok=False rejects
+        # the LM step and lambda escalation re-damps (the same self-healing
+        # as the reference's zero-pivot path, cuda_linear_solver.cpp:175-189).
         lv0, base0 = factor(Ds, Us)
-        _, levels, base, _ = jax.lax.while_loop(
-            boost_cond, boost_body, (jnp.float32(0.0), lv0, base0, jnp.int32(0))
+        bad = ~jnp.isfinite(jnp.sum(base0))
+        for (Dinv_o, *_rest) in lv0:
+            bad = bad | ~jnp.isfinite(jnp.sum(Dinv_o[-1]))
+        levels, base = jax.lax.cond(
+            bad,
+            lambda: factor(Ds + jnp.float32(1e-3) * eyeB[None], Us),
+            lambda: (lv0, base0),
         )
     else:
         levels, base = factor(Ds, Us)
