@@ -58,6 +58,7 @@ class BundleAdjustment:
         self._stats = []
         self._time_profile = {k: 0.0 for k in PROFILE_ITEMS}
         self._pending_attr = []
+        self._attributed_phases: set = set()
         self._chi_sqs: Dict[BaseEdge, float] = {}
 
     # --- graph construction (cpp:681-764) --------------------------------
@@ -195,6 +196,7 @@ class BundleAdjustment:
             time.perf_counter() - t0 - t_structure
         )
         self._pending_attr = []
+        self._attributed_phases = set()
 
     def optimize(self, niterations: int, profile: bool = False) -> None:
         """Run the LM loop.  With profile=True, uses the host-stepped driver
@@ -336,8 +338,18 @@ class BundleAdjustment:
             for total, n, natt in pending:
                 for k, v in self._engine.attribute_phases(total, n, natt).items():
                     self._time_profile[k] += v
+                    self._attributed_phases.add(k)
             self._pending_attr = []
         return self._time_profile
+
+    def attributed_phases(self) -> set:
+        """Phase keys of :meth:`time_profile` whose values are calibrated
+        attributions of a fused run's wall time rather than direct host
+        measurements (the fused path cannot host-time interior phases).
+        Empty after ``optimize(n, profile=True)``, which times every phase
+        exactly.  Printers should mark these rows (see
+        samples/sample_ba_from_file.py)."""
+        return set(self._attributed_phases)
 
     def chi_squared(self, e: BaseEdge) -> float:
         return self._chi_sqs.get(e, 0.0)

@@ -74,9 +74,18 @@ def main():
     elapsed = time.perf_counter() - t0
 
     print("=== Time profile ===")
-    for k, v in ba.time_profile().items():
-        print(f"{k:32s}: {1e3 * v:9.1f} ms")
+    prof = ba.time_profile()
+    attributed = ba.attributed_phases()
+    for k, v in prof.items():
+        mark = " *" if k in attributed else ""
+        print(f"{k:32s}: {1e3 * v:9.1f} ms{mark}")
     print(f"{'Total':32s}: {1e3 * elapsed:9.1f} ms")
+    if attributed:
+        print(
+            "* attributed: the fused device loop is one dispatch, so these "
+            "rows split its measured wall time by calibrated per-phase "
+            "ratios; run with --profiled for host-timed exact phases"
+        )
     print("=== Objective ===")
     for s in ba.batch_statistics():
         print(f"iter {s.iteration:2d}: chi2 = {s.chi2:.1f}")

@@ -71,3 +71,28 @@ def test_profiled_driver_still_exact():
     assert prof["6: Numerical Decomposition"] > 0
     # profiled runs leave nothing pending for attribution
     assert ba._pending_attr == []
+
+
+def test_attributed_phases_marked():
+    """Attributed rows are distinguishable from measured ones (the sample
+    prints them with a '*' marker — attribution is an estimate, not a
+    measurement)."""
+    prob = synthetic.generate(num_poses=8, num_landmarks=60, seed=5)
+    ba = synthetic.build_graph(prob)
+    ba.initialize()
+    ba.optimize(3)
+    assert ba.attributed_phases() == set()  # nothing attributed until queried
+    prof = ba.time_profile()
+    marked = ba.attributed_phases()
+    assert "2: Compute Error" in marked and "6: Numerical Decomposition" in marked
+    # init phases are host-measured, never attributed
+    assert "0: Initialize Optimizer" not in marked
+    assert "1: Build Structure" not in marked
+    assert marked <= set(prof.keys())
+
+    # the host-stepped profiled driver measures everything exactly
+    ba2 = synthetic.build_graph(prob)
+    ba2.initialize()
+    ba2.optimize(3, profile=True)
+    ba2.time_profile()
+    assert ba2.attributed_phases() == set()
