@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cuba_tpu.solver import pallas_chol, trisolve
+from cuba_tpu.solver import trisolve
 
 
 def cholesky_solve(
@@ -64,57 +64,37 @@ def cholesky_solve(
             jax.default_backend() == "tpu"
             and trisolve.usable(A.shape[0], A.dtype)
         )
-    # the persistent Pallas factorization (solver/pallas_chol.py) replaces
-    # both jnp.linalg.cholesky AND trisolve.prepare: it emits the inverted
-    # diagonal blocks the blocked substitution consumes.  EXPERIMENTAL and
-    # off by default: Mosaic runs in-kernel dot_general at bf16 regardless
-    # of the requested precision and the in-kernel diagonal factor is
-    # latency-bound (docs/PERF_NOTES.md) — XLA's cholesky currently wins.
-    use_pchol = (
-        bool(int(__import__("os").environ.get("CUBA_TPU_PALLAS_CHOL", "0")))
-        and use_pallas
-        and pallas_chol.usable(A.shape[0], A.dtype)
-    )
-    ts_block = pallas_chol.B if use_pchol else trisolve.BLOCK
-    invd = None
-
-    def factor(M):
-        if use_pchol:
-            return pallas_chol.cholesky_with_inv(M, interpret=interpret)
-        return jnp.linalg.cholesky(M), jnp.zeros((1, 1, 1), M.dtype)
-
     if A.dtype == jnp.float32:
         n = A.shape[0]
 
         def boost_cond(c):
-            delta, L, _invd, tries = c
+            delta, L, tries = c
             return ~jnp.isfinite(jnp.sum(L[-1])) & (tries < 4)
 
         def boost_body(c):
-            delta, L, _invd, tries = c
+            delta, L, tries = c
             delta = jnp.where(delta == 0, jnp.float32(1e-5), delta * 32.0)
-            L2, invd2 = factor(As + delta * jnp.eye(n, dtype=As.dtype))
-            return delta, L2, invd2, tries + 1
+            L2 = jnp.linalg.cholesky(As + delta * jnp.eye(n, dtype=As.dtype))
+            return delta, L2, tries + 1
 
-        L0, invd0 = factor(As)
-        _, L, invd, _ = jax.lax.while_loop(
-            boost_cond, boost_body, (jnp.float32(0.0), L0, invd0, jnp.int32(0))
+        L0 = jnp.linalg.cholesky(As)
+        _, L, _ = jax.lax.while_loop(
+            boost_cond, boost_body, (jnp.float32(0.0), L0, jnp.int32(0))
         )
     else:
-        L, invd = factor(As)
+        L = jnp.linalg.cholesky(As)
 
     if use_pallas:
         # XLA's width-1 TriangularSolve unrolls into ~n/128 sequential
         # single-lane panel ops (docs/PERF_NOTES.md); the Pallas blocked
         # substitution is one kernel launch per sweep.
-        if not use_pchol:
-            invd = trisolve.prepare(L, interpret=interpret)
+        invd = trisolve.prepare(L, interpret=interpret)
 
         def solve_with(rhs):
-            y = trisolve.solve_lower(L, invd, rhs * s, block=ts_block, interpret=interpret)
-            return s * trisolve.solve_upper(L, invd, y, block=ts_block, interpret=interpret)
+            y = trisolve.solve_lower(L, invd, rhs * s, interpret=interpret)
+            return s * trisolve.solve_upper(L, invd, y, interpret=interpret)
 
-        mv = lambda v: trisolve.matvec(A, v, block=ts_block, interpret=interpret)
+        mv = lambda v: trisolve.matvec(A, v, interpret=interpret)
     else:
 
         def solve_with(rhs):
