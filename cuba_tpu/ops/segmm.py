@@ -351,6 +351,73 @@ def plan_gather_tiles(
 
 
 # ---------------------------------------------------------------------------
+# plan broadening (multi-chip SPMD): pad a plan's STATIC dims up to shared
+# maxima so per-shard plans trace to one program under shard_map.  Extra
+# tiles carry base_block = -1 (the kernels' empty-tile skip), extra chunks
+# carry all-invalid ids, wider windows only enlarge the one-hot factor —
+# all semantically inert paddings (tiled_segsum/tiled_gather zero-fill at
+# c == 0 unconditionally; schur_fused writes zero windows for -1 triplets).
+# ---------------------------------------------------------------------------
+
+
+def broaden_tile_plan(p: TilePlan, num_tiles: int = 0, n_blocks: int = 0,
+                      n_pad: int = 0) -> TilePlan:
+    """Pad a TilePlan's statics up to the given minima (see module note)."""
+    nt = max(p.num_tiles, num_tiles)
+    nb = max(p.n_blocks, n_blocks)
+    bb = p.base_block
+    if nt > p.num_tiles:
+        bb = np.concatenate([bb, np.full(nt - p.num_tiles, -1, np.int32)])
+    top = int(bb.max()) if bb.size else -1
+    req = (max(top, 0) + nb) * p.block
+    npad = _round_up(max(p.n_pad, req, n_pad, p.block), p.block)
+    return TilePlan(p.tile, p.block, nb, nt, bb.astype(np.int32), npad, p.ok)
+
+
+def broaden_accum_plan(p: AccumWindowPlan, num_chunks: int = 0, win: int = 0,
+                       out_pad: int = 0) -> AccumWindowPlan:
+    """Pad an AccumWindowPlan's statics up to the given minima."""
+    nc = max(p.num_chunks, num_chunks)
+    w = max(p.win, win)
+    wb = p.wb
+    if nc > p.num_chunks:
+        wb = np.concatenate([wb, np.zeros(nc - p.num_chunks, np.int32)])
+    top = int(wb.max()) * 128 if wb.size else 0
+    op = _round_up(max(p.out_pad, top + w, out_pad, 128), 128)
+    return AccumWindowPlan(p.chunk, w, nc, wb.astype(np.int32), op, p.ok)
+
+
+def broaden_schur_plan(p: "SchurPlan", num_chunks: int = 0, kwin: int = 0,
+                       n_slot_pad: int = 0, n_hsc_pad: int = 0) -> "SchurPlan":
+    """Pad a SchurPlan's statics up to the given minima.  Widening kwin
+    re-lays the per-chunk gid rows ([C, kwin] with -1 tails); lk local
+    indices stay valid (positions within each chunk's block list)."""
+    C0, K0 = p.num_chunks, p.kwin
+    C = max(C0, num_chunks)
+    K = max(K0, _round_up(kwin, 128) if kwin else K0)
+    sb, li, lj, lk = p.sb, p.li, p.lj, p.lk
+    gid = p.gid.reshape(C0, K0)
+    if K > K0:
+        gid = np.concatenate(
+            [gid, np.full((C0, K - K0), -1, gid.dtype)], axis=1
+        )
+    if C > C0:
+        sb = np.concatenate([sb, np.zeros(C - C0, np.int32)])
+        pad = np.full((C - C0) * p.chunk, -1, np.int32)
+        li = np.concatenate([li, pad])
+        lj = np.concatenate([lj, pad])
+        lk = np.concatenate([lk, pad])
+        gid = np.concatenate([gid, np.full((C - C0, K), -1, gid.dtype)])
+    nsp = max(p.n_slot_pad, (int(sb.max()) + 2) * p.slot_block if sb.size else 0,
+              n_slot_pad)
+    nhp = max(p.n_hsc_pad, n_hsc_pad)
+    return SchurPlan(p.chunk, p.slot_block, K, C, sb.astype(np.int32),
+                     li.astype(np.int32), lj.astype(np.int32),
+                     lk.astype(np.int32), gid.reshape(-1).astype(np.int32),
+                     nsp, nhp, p.ok)
+
+
+# ---------------------------------------------------------------------------
 # tiled_segsum: locally-sorted ids, any S, write-once output tiles
 # ---------------------------------------------------------------------------
 

@@ -689,28 +689,7 @@ class BlockSolverEngine:
 
     def _mxu_sig(self):
         """Static signature of every plan value the traced closures capture."""
-        p = self.mxu_plans
-        if p is None:
-            return None
-        tp = lambda t: None if t is None else (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
-        aw = lambda t: None if t is None else (t.chunk, t.win, t.num_chunks, t.out_pad, t.ok)
-        sc = p.schur
-        sc_sig = (
-            None if sc is None
-            else (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks,
-                  sc.n_slot_pad, sc.n_hsc_pad)
-        )
-        return (
-            p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
-            tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
-            tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
-            p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
-            sc_sig,
-            p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
-            aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
-            p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack, p.sc_ntri,
-            p.lr_k, p.lr_nob,
-        )
+        return mxu.static_sig(self.mxu_plans)
 
     # ------------------------------------------------------------------
     # building blocks (pure functions over (state, consts))

@@ -174,6 +174,100 @@ class MXUConsts(NamedTuple):
     ob_jrows: jnp.ndarray = np.zeros(1, np.int32)  # [6*lr_k]
 
 
+@dataclasses.dataclass
+class MXUForce:
+    """Cross-shard minima for plan_mxu's static dims (multi-chip SPMD).
+
+    shard_map traces ONE program for every device, so per-shard MXUPlans
+    must agree on every static (paddings, grid sizes, window widths).  The
+    multi-chip planner runs plan_mxu per shard, folds the statics with
+    ``force_max``, and re-plans with the combined force until the statics
+    reach a cross-shard fixpoint (parallel/mxu_shard.py)."""
+
+    e_pad_m: int = 0
+    e_pad_s: int = 0
+    hpl_pad: int = 0
+    p_src_pad: int = 0
+    p_res_pad: int = 0
+    # name -> (num_tiles, n_blocks, n_pad) for the tile/gather plans
+    tiles: dict = dataclasses.field(default_factory=dict)
+    # name -> (num_chunks, win, out_pad) for the windowed accum plans
+    accums: dict = dataclasses.field(default_factory=dict)
+    # (num_chunks, kwin, n_slot_pad, n_hsc_pad)
+    schur: tuple = (0, 0, 0, 0)
+
+
+_TILE_NAMES = ("hll_m", "hll_s", "hpl_m", "hpl_s", "ivs", "xpg", "cl",
+               "up2", "cl2", "xwg_m", "xwg_s")
+_ACCUM_NAMES = ("paw_m", "paw_s", "paw_b", "rg_m", "rg_s")
+
+
+def static_sig(p: Optional[MXUPlans]):
+    """Hashable signature of every static plan value the traced closures
+    capture — the jit-cache key (engine) and the cross-shard SPMD equality
+    check (parallel/mxu_shard.py: shard_map traces one program, so every
+    shard's plans must agree on this signature exactly)."""
+    if p is None:
+        return None
+    tp = lambda t: None if t is None else (t.tile, t.block, t.n_blocks, t.num_tiles, t.n_pad)
+    aw = lambda t: None if t is None else (t.chunk, t.win, t.num_chunks, t.out_pad, t.ok)
+    sc = p.schur
+    sc_sig = (
+        None if sc is None
+        else (sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks,
+              sc.n_slot_pad, sc.n_hsc_pad)
+    )
+    return (
+        p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
+        tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
+        tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
+        p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
+        sc_sig,
+        p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
+        aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
+        p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack, p.sc_ntri,
+        p.lr_k, p.lr_nob,
+    )
+
+
+def force_of(plans: MXUPlans) -> MXUForce:
+    """Extract the static dims of a planned problem as an MXUForce."""
+    tiles = {}
+    for nm in _TILE_NAMES:
+        t = getattr(plans, nm)
+        if t is not None:
+            tiles[nm] = (t.num_tiles, t.n_blocks, t.n_pad)
+    accums = {}
+    for nm in _ACCUM_NAMES:
+        a = getattr(plans, nm)
+        if a is not None:
+            accums[nm] = (a.num_chunks, a.win, a.out_pad)
+    sc = plans.schur
+    sc_t = (0, 0, 0, 0) if sc is None else (
+        sc.num_chunks, sc.kwin, sc.n_slot_pad, sc.n_hsc_pad
+    )
+    return MXUForce(
+        plans.e_pad_m, plans.e_pad_s, plans.hpl_pad, plans.p_src_pad,
+        plans.p_res_pad, tiles, accums, sc_t,
+    )
+
+
+def force_max(a: MXUForce, b: MXUForce) -> MXUForce:
+    """Elementwise maximum of two forces."""
+    tiles = dict(a.tiles)
+    for nm, v in b.tiles.items():
+        tiles[nm] = tuple(max(x, y) for x, y in zip(tiles.get(nm, (0, 0, 0)), v))
+    accums = dict(a.accums)
+    for nm, v in b.accums.items():
+        accums[nm] = tuple(max(x, y) for x, y in zip(accums.get(nm, (0, 0, 0)), v))
+    return MXUForce(
+        max(a.e_pad_m, b.e_pad_m), max(a.e_pad_s, b.e_pad_s),
+        max(a.hpl_pad, b.hpl_pad), max(a.p_src_pad, b.p_src_pad),
+        max(a.p_res_pad, b.p_res_pad), tiles, accums,
+        tuple(max(x, y) for x, y in zip(a.schur, b.schur)),
+    )
+
+
 def plan_schur_for(s: BAStructure):
     """The Schur chunk plan for a structure — cheap when the C++ symbolic
     pass precomputed it (structure.schur_native), so the engine can build
@@ -390,7 +484,8 @@ def rows_float_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int) -> dict:
 
 
 def plan_mxu(
-    s: BAStructure, pad_blocks: int = 0, need_dense: bool = True, sc=None
+    s: BAStructure, pad_blocks: int = 0, need_dense: bool = True, sc=None,
+    force: Optional[MXUForce] = None, wire_pack: bool = True,
 ) -> Tuple[MXUPlans, Optional[MXUConsts]]:
     """Build all window plans + padded device constants.  Host, once.
 
@@ -402,6 +497,13 @@ def plan_mxu(
     the Schur multiplication-triplet planning and the dense-formation plans
     entirely — PCG's matvec is matrix-free (schur_matvec_rows) and never
     touches them.
+
+    ``force`` raises every static dim to at least the given minima so
+    per-shard plans share one traced program under shard_map (MXUForce).
+    ``wire_pack=False`` emits fully-expanded int32 constants (no int16
+    narrowing, no schur-id packing, gated acc tables and rank-order gather
+    ids included) — the multi-chip path device_puts them directly and never
+    calls derive_consts.
     """
     num_p, num_l, n_hpl = s.num_p, s.num_l, s.n_hpl
     if num_p == 0 or num_l == 0 or n_hpl == 0:
@@ -427,10 +529,22 @@ def plan_mxu(
     # int64 round trip cost ~80ms of pure conversion at kitti00 scale
     if sc is None and need_dense:
         sc = plan_schur_for(s)
-    e_pad_m = max(_round_up(Em, 1024), 1024)
-    e_pad_s = max(_round_up(Es, 1024), 1024)
-    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc else 1024)
-    p_src_pad = max(_round_up(num_p + 1, 1024), 1024)
+    fz = force if force is not None else MXUForce()
+    if sc is not None and any(fz.schur):
+        sc = segmm.broaden_schur_plan(sc, *fz.schur)
+    e_pad_m = max(_round_up(Em, 1024), 1024, fz.e_pad_m)
+    e_pad_s = max(_round_up(Es, 1024), 1024, fz.e_pad_s)
+    hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc else 1024,
+                  fz.hpl_pad)
+    p_src_pad = max(_round_up(num_p + 1, 1024), 1024, fz.p_src_pad)
+
+    def btile(p, name):
+        m = fz.tiles.get(name)
+        return p if m is None else segmm.broaden_tile_plan(p, *m)
+
+    def baccum(p, name):
+        m = fz.accums.get(name)
+        return p if m is None else segmm.broaden_accum_plan(p, *m)
 
     for _ in range(4):
         lm_m = pad_ids(s.mono.lm_idx, e_pad_m, s.mono.lm_idx < num_l)
@@ -440,13 +554,15 @@ def plan_mxu(
         hcol = pad_ids(s.hpl_col, hpl_pad)
         hrow = pad_ids(s.hpl_row, hpl_pad)
 
-        hll_m = segmm.plan_tiles(lm_m, num_l)
-        hll_s = segmm.plan_tiles(lm_s, num_l)
-        hpl_m = segmm.plan_tiles(e2h_m, hpl_pad)
-        hpl_s = segmm.plan_tiles(e2h_s, hpl_pad)
-        ivs = segmm.plan_gather_tiles(hcol, num_l)
-        xpg = segmm.plan_gather_tiles(hrow, num_p, block=p_src_pad, max_blocks=1)
-        cl = segmm.plan_tiles(hcol, num_l)
+        hll_m = btile(segmm.plan_tiles(lm_m, num_l), "hll_m")
+        hll_s = btile(segmm.plan_tiles(lm_s, num_l), "hll_s")
+        hpl_m = btile(segmm.plan_tiles(e2h_m, hpl_pad), "hpl_m")
+        hpl_s = btile(segmm.plan_tiles(e2h_s, hpl_pad), "hpl_s")
+        ivs = btile(segmm.plan_gather_tiles(hcol, num_l), "ivs")
+        xpg = btile(
+            segmm.plan_gather_tiles(hrow, num_p, block=p_src_pad, max_blocks=1),
+            "xpg")
+        cl = btile(segmm.plan_tiles(hcol, num_l), "cl")
 
         need_em = max(e_pad_m, _round_up(max(hll_m.n_pad, hpl_m.n_pad), 1024))
         need_es = max(e_pad_s, _round_up(max(hll_s.n_pad, hpl_s.n_pad), 1024))
@@ -496,8 +612,10 @@ def plan_mxu(
             ckey = hc * maxwc + colrank
             gkey_up2 = np.where(gid >= 0, rkey[np.maximum(gid, 0)], -1).astype(i32)
             gkey_cl2 = np.where(gid >= 0, ckey[np.maximum(gid, 0)], -1).astype(i32)
-            up2 = segmm.plan_tiles(gkey_up2, PB * maxw, tile=128, block=512, max_blocks=32)
-            cl2 = segmm.plan_tiles(gkey_cl2, PB * maxwc, tile=128, block=512, max_blocks=32)
+            up2 = btile(segmm.plan_tiles(
+                gkey_up2, PB * maxw, tile=128, block=512, max_blocks=32), "up2")
+            cl2 = btile(segmm.plan_tiles(
+                gkey_cl2, PB * maxwc, tile=128, block=512, max_blocks=32), "cl2")
             iru = np.full(PB * maxw, -1, i32)
             icu = np.full(PB * maxw, -1, i32)
             iru[rkey] = hr
@@ -562,13 +680,13 @@ def plan_mxu(
     # tiled_gather over the landmark-major edge order.
     total_p = int(s.qs.shape[0])
     total_l = int(s.Xws.shape[0])
-    p_res_pad = _round_up(max(total_p, 1), 128)
+    p_res_pad = max(_round_up(max(total_p, 1), 128), fz.p_res_pad)
     pose_gid_m = pad_ids(s.mono.pose_idx, e_pad_m)
     pose_gid_s = pad_ids(s.stereo.pose_idx, e_pad_s)
     lm_gid_m = pad_ids(s.mono.lm_idx, e_pad_m)
     lm_gid_s = pad_ids(s.stereo.lm_idx, e_pad_s)
-    xwg_m = segmm.plan_gather_tiles(lm_gid_m, total_l)
-    xwg_s = segmm.plan_gather_tiles(lm_gid_s, total_l)
+    xwg_m = btile(segmm.plan_gather_tiles(lm_gid_m, total_l), "xwg_m")
+    xwg_s = btile(segmm.plan_gather_tiles(lm_gid_s, total_l), "xwg_s")
     rows_ok = (
         p_res_pad <= 4096
         and xwg_m.ok and xwg_s.ok
@@ -585,8 +703,10 @@ def plan_mxu(
     rorder[prank] = np.arange(total_p)  # gather column -> pose idx
     pose_gidr_m = pad_ids(prank[np.asarray(s.mono.pose_idx, np.int64)], e_pad_m)
     pose_gidr_s = pad_ids(prank[np.asarray(s.stereo.pose_idx, np.int64)], e_pad_s)
-    rg_m = segmm.plan_accum_windows(pose_gidr_m, total_p, max_win=1024)
-    rg_s = segmm.plan_accum_windows(pose_gidr_s, total_p, max_win=1024)
+    rg_m = baccum(segmm.plan_accum_windows(pose_gidr_m, total_p, max_win=1024),
+                  "rg_m")
+    rg_s = baccum(segmm.plan_accum_windows(pose_gidr_s, total_p, max_win=1024),
+                  "rg_s")
     rg_usable = rg_m.ok and rg_s.ok
     if rg_usable:
         # source must cover every chunk's [base, base+win) slice
@@ -598,9 +718,9 @@ def plan_mxu(
     pacc_m = pad_ids(s.mono.pose_idx, e_pad_m, s.mono.pose_idx < num_p)
     pacc_s = pad_ids(s.stereo.pose_idx, e_pad_s, s.stereo.pose_idx < num_p)
     hrow_np = pad_ids(s.hpl_row, hpl_pad)
-    paw_m = segmm.plan_accum_windows(pacc_m, num_p)
-    paw_s = segmm.plan_accum_windows(pacc_s, num_p)
-    paw_b = segmm.plan_accum_windows(hrow_np, num_p)
+    paw_m = baccum(segmm.plan_accum_windows(pacc_m, num_p), "paw_m")
+    paw_s = baccum(segmm.plan_accum_windows(pacc_s, num_p), "paw_s")
+    paw_b = baccum(segmm.plan_accum_windows(hrow_np, num_p), "paw_b")
 
     all_plans = (hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl)
     ok = all(p.ok for p in all_plans)
@@ -643,9 +763,17 @@ def plan_mxu(
             )
         else:
             rg_consts = {}
+        if not wire_pack and rg_usable:
+            # expanded rank-order gather ids: derive_consts never runs on
+            # the multi-chip path, so ship them directly
+            rg_consts.update(
+                pose_gidr_m=pose_gidr_m.astype(i32),
+                pose_gidr_s=pose_gidr_s.astype(i32),
+            )
+        gid_dt = np.int16 if wire_pack else i32
         rows_consts = dict(
-            pose_gid_m=pose_gid_m.astype(np.int16),  # rows gate: num_p <= 4096
-            pose_gid_s=pose_gid_s.astype(np.int16),
+            pose_gid_m=pose_gid_m.astype(gid_dt),  # rows gate: num_p <= 4096
+            pose_gid_s=pose_gid_s.astype(gid_dt),
             lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
             **rg_consts,
             bb_xwg_m=np.asarray(xwg_m.base_block, i32),
@@ -678,8 +806,11 @@ def plan_mxu(
 
     def narrow(a):
         """int16 when values fit — halves the wire cost of the big index
-        tables (engine._packed_device_put widens back to int32 on device)."""
+        tables (engine._packed_device_put widens back to int32 on device).
+        wire_pack=False keeps int32 (no widening pass on the direct path)."""
         a = np.asarray(a)
+        if not wire_pack:
+            return a.astype(i32)
         if a.size == 0 or (a.min() >= -32768 and a.max() <= 32767):
             return a.astype(np.int16)
         return a.astype(i32)
@@ -693,22 +824,31 @@ def plan_mxu(
     # enumeration); else 3-way li|lj|lk pack when compact kwin keeps
     # lk < 254, else 2-way li|lj with lk riding int16 (pack_schur_ids —
     # shared with the early-upload path: identical decision per plan)
-    plans.sc_pack, _scids = pack_schur_ids(
-        sc, col=None if sc is None else np.asarray(s.hpl_col)
-    )
-    plans.sc_ntri = int(_scids.get("sc_ntri", 0))
-    sc_lij = _scids["sc_lij"]
-    sc_li = _scids["sc_li"]
-    sc_lj = _scids["sc_lj"]
-    sc_lk_c = _scids["sc_lk"]
+    if wire_pack:
+        plans.sc_pack, _scids = pack_schur_ids(
+            sc, col=None if sc is None else np.asarray(s.hpl_col)
+        )
+        plans.sc_ntri = int(_scids.get("sc_ntri", 0))
+        sc_lij = _scids["sc_lij"]
+        sc_li = _scids["sc_li"]
+        sc_lj = _scids["sc_lj"]
+        sc_lk_c = _scids["sc_lk"]
+    else:
+        # expanded local-id streams: nothing to unpack on device
+        plans.sc_pack, plans.sc_ntri = "none", 0
+        sc_lij = dummy
+        sc_li = np.asarray(sc.li, i32) if sc is not None else dummy
+        sc_lj = np.asarray(sc.lj, i32) if sc is not None else dummy
+        sc_lk_c = np.asarray(sc.lk, i32) if sc is not None else dummy
 
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
+    skip_acc = rows_ok and wire_pack  # derive_consts rebuilds them on device
     consts = MXUConsts(
-        pose_acc_m=dummy if rows_ok else narrow(pacc_m),
-        pose_acc_s=dummy if rows_ok else narrow(pacc_s),
-        lm_acc_m=dummy if rows_ok else lm_m,
-        lm_acc_s=dummy if rows_ok else lm_s,
+        pose_acc_m=dummy if skip_acc else narrow(pacc_m),
+        pose_acc_s=dummy if skip_acc else narrow(pacc_s),
+        lm_acc_m=dummy if skip_acc else lm_m,
+        lm_acc_s=dummy if skip_acc else lm_s,
         e2h_m=e2h_m,
         e2h_s=e2h_s,
         hpl_row=narrow(hrow),
@@ -1027,10 +1167,15 @@ def _sym3x3_inv_rows(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def prepare_factors_mxu(HppT, HllT, HplT, lam, num_p, num_l,
-                        plans: MXUPlans, mc: MXUConsts, interpret=False):
+                        plans: MXUPlans, mc: MXUConsts, interpret=False,
+                        axis_name=None):
     """Damped invHll, W = Hpl invHll, bsc = bp - W bl.  All transposed.
 
     Returns (iv9 [9,L], W [18,hpl_pad], bscT [6,P], g12 [12,hpl_pad]).
+
+    ``axis_name``: multi-chip landmark axis — the shard-local W·bl pose
+    accumulate is psum'd before subtracting from bp (HppT must already be
+    globally reduced by the caller; HllT/HplT are shard-local).
     """
     hll_d = HllT[:9].at[jnp.asarray([0, 4, 8])].add(lam)
     # near-singular landmarks (few observations) make the fp32 closed-form
@@ -1060,6 +1205,8 @@ def prepare_factors_mxu(HppT, HllT, HplT, lam, num_p, num_l,
     ])  # [6, hpl_pad]
     # slot ids for the accumulate: hpl_row over padded slots (invalid -> -1)
     bsc_sub = _pose_accum(wbl, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
+    if axis_name is not None:
+        bsc_sub = jax.lax.psum(bsc_sub, axis_name)
     bscT = HppT[36:42] - bsc_sub
     return iv9, W, bscT, g12
 
@@ -1076,33 +1223,18 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     (docs/PERF_NOTES.md)."""
     assert pad_blocks == plans.pad_blocks
     PB = pad_blocks
+
+    if plans.v2:
+        upT2, clT2 = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
+        return dense_from_compact(
+            upT2, clT2, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
+            interpret=interpret,
+        )
+
     win = segmm.schur_fused(
         W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
         interpret=interpret,
     )  # [36, C*kwin] per-chunk windows
-
-    if plans.v2:
-        wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
-        win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
-
-        def keys(k):
-            return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
-
-        upT2 = segmm.tiled_segsum(
-            win, keys(mc.gkey_up2), PB * plans.maxw, plans.up2, mc.bb_up2,
-            interpret=interpret)
-        clT2 = segmm.tiled_segsum(
-            win, keys(mc.gkey_cl2), PB * plans.maxwc, plans.cl2, mc.bb_cl2,
-            interpret=interpret)
-        Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
-        Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
-        eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
-        dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
-        return segmm.compact_to_dense(
-            upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.occ2,
-            PB, plans.maxw, plans.maxwc, interpret=interpret,
-        ).astype(dtype)
-
     wpad = _round_up(max(plans.up.n_pad, plans.lo.n_pad, win.shape[1]), 1024)
     win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
 
@@ -1150,7 +1282,22 @@ def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     and band_cr.cr_solve_woodbury folds them back in as a low-rank
     correction (plans.lr_nob > 0 required)."""
     assert plans.v2 and pad_blocks == plans.pad_blocks
-    PB = pad_blocks
+    upT2, clT2 = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
+    return band_from_compact(
+        upT2, clT2, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
+        interpret=interpret, with_ob=with_ob,
+    )
+
+
+def schur_compact_mxu(W, HplT, plans: MXUPlans, mc: MXUConsts,
+                      interpret=False):
+    """Shard-local half of the v2 Schur formation: per-chunk windowed pair
+    products (schur_fused) combined into the COMPACT rank-major tables
+    (upT2 [36, PB*maxw], clT2 [36, PB*maxwc]).  The multi-chip engine psums
+    these two tables over the landmark axis — ~36*(maxw+maxwc)*PB floats,
+    ~10 MB at kitti00 scale vs the ~285 MB dense image — then runs the
+    replicated formation (band_from_compact / dense_from_compact)."""
+    PB = plans.pad_blocks
     win = segmm.schur_fused(
         W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
         interpret=interpret,
@@ -1167,6 +1314,29 @@ def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     clT2 = segmm.tiled_segsum(
         win, keys(mc.gkey_cl2), PB * plans.maxwc, plans.cl2, mc.bb_cl2,
         interpret=interpret)
+    return upT2, clT2
+
+
+def dense_from_compact(upT2, clT2, HppT, lam, num_p, pad_blocks,
+                       plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
+    """Replicated half of the v2 dense formation (see schur_compact_mxu)."""
+    PB = pad_blocks
+    Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
+    Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
+    eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
+    dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
+    return segmm.compact_to_dense(
+        upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.occ2,
+        PB, plans.maxw, plans.maxwc, interpret=interpret,
+    ).astype(dtype)
+
+
+def band_from_compact(upT2, clT2, HppT, lam, num_p, pad_blocks,
+                      plans: MXUPlans, mc: MXUConsts, dtype, interpret=False,
+                      with_ob=False):
+    """Replicated half of the v2 band formation: damped diagonal + the
+    compact tables scattered into block-tridiagonal (D, U) storage."""
+    PB = pad_blocks
     Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
     Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
     eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
@@ -1215,7 +1385,8 @@ def _hpp_matvec_rows(HppT, lam, xT):
 
 
 def schur_matvec_rows(HppT, HplT, W, lam, xT, num_p, num_l,
-                      plans: MXUPlans, mc: MXUConsts, interpret=False):
+                      plans: MXUPlans, mc: MXUConsts, interpret=False,
+                      axis_name=None):
     """Matrix-free Schur matvec Hsc x = (Hpp + lam I) x - W (Hpl^T x).
 
     The Schur complement is never materialized (no multiplication triplets,
@@ -1242,11 +1413,16 @@ def schur_matvec_rows(HppT, HplT, W, lam, xT, num_p, num_l,
         sum(W[3 * i + k] * ag[k] for k in range(3)) for i in range(6)
     ])  # [6, hpl_pad]
     ysub = _pose_accum(y6, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
+    if axis_name is not None:
+        # multi-chip: x is replicated (pose space); only the shard-local
+        # slot contributions need the ICI all-reduce (~[6, P] floats)
+        ysub = jax.lax.psum(ysub, axis_name)
     return _hpp_matvec_rows(HppT, lam, xT) - ysub
 
 
 def schur_block_diag_inv_rows(HppT, HplT, W, lam, num_p,
-                              plans: MXUPlans, mc: MXUConsts, interpret=False):
+                              plans: MXUPlans, mc: MXUConsts, interpret=False,
+                              axis_name=None):
     """Inverted exact 6x6 block diagonal of the damped Schur complement,
     as transposed rows [36, P] — the block-Jacobi preconditioner."""
     d36 = jnp.stack([
@@ -1254,6 +1430,8 @@ def schur_block_diag_inv_rows(HppT, HplT, W, lam, num_p,
         for i in range(6) for j in range(6)
     ])  # W Hpl^T diagonal contribution per slot [36, hpl_pad]
     corr = _pose_accum(d36, mc.hpl_row, num_p, plans.paw_b, mc.wb_paw_b, interpret)
+    if axis_name is not None:
+        corr = jax.lax.psum(corr, axis_name)
     M = (HppT[:36] - corr).T.reshape(num_p, 6, 6)
     M = M + lam * jnp.eye(6, dtype=M.dtype)
     return jnp.linalg.inv(M).reshape(num_p, 36).T
@@ -1261,7 +1439,8 @@ def schur_block_diag_inv_rows(HppT, HplT, W, lam, num_p,
 
 def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
                    plans: MXUPlans, mc: MXUConsts,
-                   max_iterations: int, tol: float, interpret=False):
+                   max_iterations: int, tol: float, interpret=False,
+                   axis_name=None):
     """Block-Jacobi preconditioned CG on the matrix-free Schur operator,
     all in transposed rows layout.  Returns (xT [6, P], ok).
 
@@ -1270,7 +1449,8 @@ def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
     the reference's zero-pivot semantics (cuda_linear_solver.cpp:175-189).
     """
     Minv36 = schur_block_diag_inv_rows(
-        HppT, HplT, W, lam, num_p, plans, mc, interpret=interpret
+        HppT, HplT, W, lam, num_p, plans, mc, interpret=interpret,
+        axis_name=axis_name,
     )
 
     def apply_M(rT):
@@ -1280,7 +1460,8 @@ def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
 
     def matvec(xT):
         return schur_matvec_rows(
-            HppT, HplT, W, lam, xT, num_p, num_l, plans, mc, interpret=interpret
+            HppT, HplT, W, lam, xT, num_p, num_l, plans, mc,
+            interpret=interpret, axis_name=axis_name,
         )
 
     def dot(a, c):
