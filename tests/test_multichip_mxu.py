@@ -1,0 +1,120 @@
+"""Multi-chip MXU assembly (parallel/mxu_shard.py + the shard_map MXU body
+in parallel/sharding.py) vs the single-chip engine, on the virtual CPU mesh.
+
+The Pallas kernels run in interpreter mode (config.mxu="interpret") so the
+one-hot assembly, compact Schur psum reduction and sharded PCG execute with
+real shard_map collectives on CPU.  The reference has no multi-GPU path
+(SURVEY.md §2); parity target matches the single-chip MXU tests
+(tests/test_mxu_path.py: fp32, rtol 5e-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cuba_tpu import BAConfig, EdgeType, RobustKernelType
+from cuba_tpu.io import synthetic
+from cuba_tpu.parallel import mxu_shard
+from cuba_tpu.parallel.sharding import AXIS, MultiChipEngine
+from cuba_tpu.solver import mxu
+
+
+def _graph(prob):
+    ba = synthetic.build_graph(prob, config=BAConfig(dtype=jnp.float32))
+    ba.set_robust_kernels(
+        RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR
+    )
+    ba.initialize()
+    return ba
+
+
+def _single_chis(prob, iters):
+    ba = _graph(prob)
+    ba.optimize(iters)
+    s = ba._engine.structure
+    chis = np.array([st.chi2 for st in ba.batch_statistics()])
+    return chis, np.asarray(ba._state.Xws)[: s.num_l]
+
+
+def test_plan_sharded_unifies_statics():
+    """Every shard's plan must trace to the same program: identical static
+    signature, stacked consts with a leading shard axis, conserved totals."""
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    ba = _graph(prob)
+    s = ba._engine.structure
+    from cuba_tpu.solver.engine import _pad_blocks
+
+    for S in (2, 4, 8):
+        sp = mxu_shard.plan_sharded(s, S, _pad_blocks(s.num_p), need_dense=True)
+        assert sp is not None
+        assert sp.plans.ok and sp.plans.rows_ok and sp.plans.v2
+        # statics identical across shards by construction (plan_sharded
+        # verifies static_sig equality); spot-check the consts stack
+        for name in mxu.MXUConsts._fields:
+            assert getattr(sp.consts, name).shape[0] == S, name
+        assert sum(ss.mono.count for ss in sp.structures) == s.mono.count
+        assert sum(ss.n_hpl for ss in sp.structures) == s.n_hpl
+        assert sum(ss.n_mul for ss in sp.structures) == s.n_mul
+        # landmark-contiguous partition: every shard padded to one size
+        assert all(ss.num_l == sp.num_l_s for ss in sp.structures)
+
+
+@pytest.mark.parametrize("solver", ["dense_cholesky", "pcg"])
+def test_multichip_mxu_matches_single_chip(solver):
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    chis_single, Xw_single = _single_chis(prob, 4)
+
+    ba2 = _graph(prob)
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver=solver)
+    eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, cfg, mesh)
+    assert eng.mxu_sp is not None, "MXU shard plan rejected a clean problem"
+    chis_multi, qs, ts, _ = eng.optimize(4)
+
+    n = min(len(chis_single), len(chis_multi))
+    assert n >= 3
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+    np.testing.assert_allclose(
+        eng.gathered_landmarks(), Xw_single, atol=5e-3
+    )
+
+
+def test_multichip_mxu_band_path():
+    """Banded trajectory: the multi-chip MXU body forms the reduced system
+    in block-tridiagonal storage from the psum'd compact tables and solves
+    by cyclic reduction (band_from_compact + band_cr.cr_solve)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    prob = synthetic.generate(
+        num_poses=100, num_landmarks=500, mean_obs_per_landmark=5.0, seed=7
+    )
+    chis_single, _ = _single_chis(prob, 3)
+
+    ba2 = _graph(prob)
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver="auto")
+    eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, cfg, mesh)
+    assert eng.solver == "band_cr", "trajectory graph should band-certify"
+    assert eng.mxu_sp is not None
+    chis_multi, *_ = eng.optimize(3)
+
+    n = min(len(chis_single), len(chis_multi))
+    assert n >= 2
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+def test_multichip_mxu_fallback_on_cpu_auto():
+    """Default config on CPU keeps the XLA body (mxu='auto' excludes CPU,
+    matching the single-chip engine's gate) — no Pallas compile attempts."""
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    ba = _graph(prob)
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    eng = MultiChipEngine(
+        ba._engine.structure, ba._kernels, BAConfig(dtype=jnp.float32), mesh
+    )
+    assert eng.mxu_sp is None
