@@ -301,7 +301,12 @@ class MultiChipEngine:
             # work SHRINKS with the device count (the band/dense factor is
             # replicated) — the large-P multichip configuration
             self.solver = "pcg"
-        elif config.solver in ("auto", "band_cr") and self.band_m:
+        elif config.solver == "band_cr" and self.band_m:
+            self.solver = "band_cr"
+        elif config.solver == "auto" and self.band_m >= 8:
+            # same gate as the single-chip auto (engine.py): CR's batched
+            # level overhead only pays off from m >= 8; small banded
+            # systems factor fastest dense
             self.solver = "band_cr"
         elif config.solver == "auto" and self.pad_blocks > 4096:
             self.solver = "pcg"  # dense image exceeds the compile ceiling
@@ -355,33 +360,178 @@ class MultiChipEngine:
             out[name] = (err, Xc)
         return out, chi
 
-    def _make_lm_run(self, niterations: int):
-        cfg = self.config
-        dt = self.dtype
-        maxq = cfg.max_inner_iterations
-        num_p = self.num_p
-        num_l_pad = self.problem.lm_pad
-        PB = self.pad_blocks
-        n_hpl_pad = int(self.problem.consts.hpl_row.shape[1])
-        kernels = self.kernels
-
-        n_hsc = int(self.problem.consts.hsc_row.shape[0])
-
-        use_pcg = self.solver == "pcg"
-        use_band = self.solver == "band_cr" and n_hsc > 0
-        if use_band:
-            from cuba_tpu.solver import band_cr
-
-            M_band = PB // 64
+    def _band_tables(self):
+        """Host-side scatter index tables for the replicated band formation
+        (cached; shared by the fused body and the profile stages)."""
+        if getattr(self, "_band_np", None) is None:
             hr_np = np.asarray(self.structure.hsc_row, np.int64)
             hc_np = np.asarray(self.structure.hsc_col, np.int64)
             tr_np, tc_np = hr_np // 64, hc_np // 64
             lr_np, lc_np = hr_np % 64, hc_np % 64
             same_np = tr_np == tc_np
-            offd_np = same_np & (hr_np != hc_np)
-            adj_np = tc_np == tr_np + 1
-            # masked scatters: excluded blocks write zeros at slot 0
-            z64 = np.zeros_like(lr_np)
+            self._band_np = dict(
+                M_band=self.pad_blocks // 64,
+                tr=tr_np, lr=lr_np, lc=lc_np,
+                same=same_np,
+                offd=same_np & (hr_np != hc_np),
+                adj=tc_np == tr_np + 1,
+                z64=np.zeros_like(lr_np),
+            )
+        return self._band_np
+
+    def _local_fns(self, c: ShardedConsts):
+        """(lm_active, chi_global, build, solve) over shard-LOCAL consts —
+        shared by the fused XLA LM body (_make_lm_run) and the host-stepped
+        profile stages (optimize_profiled)."""
+        cfg = self.config
+        dt = self.dtype
+        num_p = self.num_p
+        num_l_pad = self.problem.lm_pad
+        PB = self.pad_blocks
+        n_hpl_pad = int(self.problem.consts.hpl_row.shape[1])
+        kernels = self.kernels
+        n_hsc = int(self.problem.consts.hsc_row.shape[0])
+        use_pcg = self.solver == "pcg"
+        use_band = self.solver == "band_cr" and n_hsc > 0
+        if use_band:
+            from cuba_tpu.solver import band_cr
+
+            bt = self._band_tables()
+            M_band = bt["M_band"]
+            tr_np, lr_np, lc_np = bt["tr"], bt["lr"], bt["lc"]
+            same_np, offd_np, adj_np, z64 = (
+                bt["same"], bt["offd"], bt["adj"], bt["z64"])
+        cams = c.cams
+        hpl_row, hpl_col = c.hpl_row, c.hpl_col
+        mul_i, mul_j, mul_k = c.mul_i, c.mul_j, c.mul_k
+        hsc_row, hsc_col = c.hsc_row, c.hsc_col
+        # mask for locally-owned ACTIVE landmarks (excludes pad + fixed)
+        lm_active = (jnp.arange(num_l_pad) < c.lm_count)[:, None]
+
+        def chi_global(qs_, ts_, Xws_):
+            _, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
+            return jax.lax.psum(chi, AXIS)
+
+        def build(qs_, ts_, Xws_):
+            terms, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
+            chi = jax.lax.psum(chi, AXIS)
+            err2, Xc2 = terms["mono"]
+            err3, Xc3 = terms["stereo"]
+            Hpp, bp, Hll, bl, Hpl = assembly.build_system(
+                qs_, cams, num_p, num_l_pad, n_hpl_pad,
+                c.mono, c.stereo, err2, Xc2, err3, Xc3, kernels,
+            )
+            Hpp = jax.lax.psum(Hpp, AXIS)
+            bp = jax.lax.psum(bp, AXIS)
+            return chi, Hpp, bp, Hll, bl, Hpl
+
+        def solve(Hpp, bp, Hll, bl, Hpl, lam):
+            Hpp_d = assembly.damp(Hpp, lam)
+            # only damp owned active landmarks; padded rows get identity
+            Hll_d = assembly.damp(Hll, lam)
+            eye3 = jnp.eye(3, dtype=dt)
+            Hll_d = jnp.where(lm_active[:, :, None], Hll_d, eye3)
+            invHll = smallmat.sym3x3_inv(Hll_d)
+            W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col], precision="highest")
+            Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col], precision="highest")
+            bsc_local = -jax.ops.segment_sum(Wbl, hpl_row, num_segments=num_p)
+            # triplet products segment-summed into the SPARSE Hsc block
+            # table; pad triplets carry mul_k == n_hsc and drop out.  The
+            # all-reduce moves 36*n_hsc floats (~1.7 MB at kitti00 scale)
+            # instead of the padded dense image (~285 MB).
+            prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
+                              Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)],
+                              precision="highest")
+            pad_t = (mul_i >= n_hpl_pad)[:, None, None]
+            prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
+            blocks = jax.ops.segment_sum(
+                prod, jnp.minimum(mul_k, n_hsc), num_segments=n_hsc + 1
+            )[:n_hsc]
+            blocks = jax.lax.psum(blocks, AXIS)
+            bsc = bp + jax.lax.psum(bsc_local, AXIS)
+            if use_pcg:
+                # sharded matrix-free PCG: per-device O(local slots)
+                # matvec + one [P,6] psum per CG step; no replicated
+                # factorization at all (ShardedSchurOperator docstring)
+                op = ShardedSchurOperator(
+                    Hpp_d, Hpl, W, hpl_row, hpl_col, num_p, num_l_pad
+                )
+                xp, ok = pcg.pcg_solve(
+                    op, bsc, cfg.pcg_max_iterations, cfg.pcg_tol
+                )
+                contrib = jnp.einsum(
+                    "kij,ki->kj", Hpl, xp[hpl_row], precision="highest"
+                )
+                cl = bl - jax.ops.segment_sum(
+                    contrib, hpl_col, num_segments=num_l_pad
+                )
+                xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
+                xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
+                return xp, xl, ok, bsc
+            n = 6 * PB
+            rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(bsc.reshape(-1))
+            refine = cfg.refinement_steps if dt == jnp.float32 else 0
+            diag = jnp.arange(num_p)
+            if use_band:
+                # replicated BAND formation: scatter the reduced block
+                # table into block-tridiagonal storage (D, U) and solve
+                # by cyclic reduction — no 6PB x 6PB image at all
+                bz = jnp.zeros_like(blocks)
+                blkT = jnp.swapaxes(blocks, -1, -2)
+                D5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
+                D5 = D5.at[tr_np, np.where(same_np, lr_np, z64), :,
+                           np.where(same_np, lc_np, z64), :].add(
+                    jnp.where(same_np[:, None, None], -blocks, bz))
+                D5 = D5.at[tr_np, np.where(offd_np, lc_np, z64), :,
+                           np.where(offd_np, lr_np, z64), :].add(
+                    jnp.where(offd_np[:, None, None], -blkT, bz))
+                p_np = np.arange(num_p)
+                D5 = D5.at[p_np // 64, p_np % 64, :, p_np % 64, :].add(Hpp_d)
+                pad_np = np.arange(num_p, PB)
+                eye6 = jnp.broadcast_to(
+                    jnp.eye(6, dtype=dt), (pad_np.size, 6, 6))
+                D5 = D5.at[pad_np // 64, pad_np % 64, :, pad_np % 64, :].add(eye6)
+                U5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
+                U5 = U5.at[np.where(adj_np, tr_np, 0 * tr_np),
+                           np.where(adj_np, lr_np, z64), :,
+                           np.where(adj_np, lc_np, z64), :].add(
+                    jnp.where(adj_np[:, None, None], -blocks, bz))
+                Db = D5.reshape(M_band, 384, 384)
+                Ub = U5.reshape(M_band, 384, 384)
+                x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
+            else:
+                # replicated dense formation from the reduced block table
+                # (upper-tri blocks + symmetric mirror, the reference's
+                # BSR->CSR expansion semantics,
+                # sparse_block_matrix.cpp:205-226)
+                D = jnp.zeros((PB, 6, PB, 6), dt)
+                D = D.at[hsc_row, :, hsc_col, :].add(-blocks)
+                off = (hsc_row != hsc_col)[:, None, None]
+                D = D.at[hsc_col, :, hsc_row, :].add(
+                    jnp.where(off, -jnp.swapaxes(blocks, -1, -2),
+                              jnp.zeros_like(blocks))
+                )
+                # replicated: add damped Hpp to diagonal + identity padding
+                D = D.at[diag, :, diag, :].add(Hpp_d)
+                Dm = D.reshape(n, n) + jnp.diag(
+                    jnp.concatenate(
+                        [jnp.zeros(6 * num_p, dt), jnp.ones(n - 6 * num_p, dt)])
+                )
+                x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
+            xp = x[: 6 * num_p].reshape(num_p, 6)
+            # local back-substitution
+            contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row], precision="highest")
+            cl = bl - jax.ops.segment_sum(contrib, hpl_col, num_segments=num_l_pad)
+            xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
+            xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
+            return xp, xl, ok, bsc
+        return lm_active, chi_global, build, solve
+
+    def _make_lm_run(self, niterations: int):
+        cfg = self.config
+        dt = self.dtype
+        maxq = cfg.max_inner_iterations
+        num_p = self.num_p
 
         def shard_body(qs, ts, Xws_l, cams, mono, stereo, hpl_row, hpl_col,
                        mul_i, mul_j, mul_k, lm_count, hsc_row, hsc_col):
@@ -394,126 +544,8 @@ class MultiChipEngine:
             )
             c = ShardedConsts(cams, mono, stereo, hpl_row, hpl_col,
                               mul_i, mul_j, mul_k, lm_count, hsc_row, hsc_col)
-            # mask for locally-owned ACTIVE landmarks (excludes pad + fixed)
-            lm_active = (jnp.arange(num_l_pad) < lm_count)[:, None]
+            lm_active, chi_global, build, solve = self._local_fns(c)
 
-            def chi_global(qs_, ts_, Xws_):
-                _, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
-                return jax.lax.psum(chi, AXIS)
-
-            def build(qs_, ts_, Xws_):
-                terms, chi = self._local_chi_and_terms(qs_, ts_, Xws_, c)
-                chi = jax.lax.psum(chi, AXIS)
-                err2, Xc2 = terms["mono"]
-                err3, Xc3 = terms["stereo"]
-                Hpp, bp, Hll, bl, Hpl = assembly.build_system(
-                    qs_, cams, num_p, num_l_pad, n_hpl_pad,
-                    c.mono, c.stereo, err2, Xc2, err3, Xc3, kernels,
-                )
-                Hpp = jax.lax.psum(Hpp, AXIS)
-                bp = jax.lax.psum(bp, AXIS)
-                return chi, Hpp, bp, Hll, bl, Hpl
-
-            def solve(Hpp, bp, Hll, bl, Hpl, lam):
-                Hpp_d = assembly.damp(Hpp, lam)
-                # only damp owned active landmarks; padded rows get identity
-                Hll_d = assembly.damp(Hll, lam)
-                eye3 = jnp.eye(3, dtype=dt)
-                Hll_d = jnp.where(lm_active[:, :, None], Hll_d, eye3)
-                invHll = smallmat.sym3x3_inv(Hll_d)
-                W = jnp.einsum("kij,kjl->kil", Hpl, invHll[hpl_col], precision="highest")
-                Wbl = jnp.einsum("kij,kj->ki", W, bl[hpl_col], precision="highest")
-                bsc_local = -jax.ops.segment_sum(Wbl, hpl_row, num_segments=num_p)
-                # triplet products segment-summed into the SPARSE Hsc block
-                # table; pad triplets carry mul_k == n_hsc and drop out.  The
-                # all-reduce moves 36*n_hsc floats (~1.7 MB at kitti00 scale)
-                # instead of the padded dense image (~285 MB).
-                prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
-                                  Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)],
-                                  precision="highest")
-                pad_t = (mul_i >= n_hpl_pad)[:, None, None]
-                prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
-                blocks = jax.ops.segment_sum(
-                    prod, jnp.minimum(mul_k, n_hsc), num_segments=n_hsc + 1
-                )[:n_hsc]
-                blocks = jax.lax.psum(blocks, AXIS)
-                bsc = bp + jax.lax.psum(bsc_local, AXIS)
-                if use_pcg:
-                    # sharded matrix-free PCG: per-device O(local slots)
-                    # matvec + one [P,6] psum per CG step; no replicated
-                    # factorization at all (ShardedSchurOperator docstring)
-                    op = ShardedSchurOperator(
-                        Hpp_d, Hpl, W, hpl_row, hpl_col, num_p, num_l_pad
-                    )
-                    xp, ok = pcg.pcg_solve(
-                        op, bsc, cfg.pcg_max_iterations, cfg.pcg_tol
-                    )
-                    contrib = jnp.einsum(
-                        "kij,ki->kj", Hpl, xp[hpl_row], precision="highest"
-                    )
-                    cl = bl - jax.ops.segment_sum(
-                        contrib, hpl_col, num_segments=num_l_pad
-                    )
-                    xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
-                    xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
-                    return xp, xl, ok, bsc
-                n = 6 * PB
-                rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(bsc.reshape(-1))
-                refine = cfg.refinement_steps if dt == jnp.float32 else 0
-                diag = jnp.arange(num_p)
-                if use_band:
-                    # replicated BAND formation: scatter the reduced block
-                    # table into block-tridiagonal storage (D, U) and solve
-                    # by cyclic reduction — no 6PB x 6PB image at all
-                    bz = jnp.zeros_like(blocks)
-                    blkT = jnp.swapaxes(blocks, -1, -2)
-                    D5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
-                    D5 = D5.at[tr_np, np.where(same_np, lr_np, z64), :,
-                               np.where(same_np, lc_np, z64), :].add(
-                        jnp.where(same_np[:, None, None], -blocks, bz))
-                    D5 = D5.at[tr_np, np.where(offd_np, lc_np, z64), :,
-                               np.where(offd_np, lr_np, z64), :].add(
-                        jnp.where(offd_np[:, None, None], -blkT, bz))
-                    p_np = np.arange(num_p)
-                    D5 = D5.at[p_np // 64, p_np % 64, :, p_np % 64, :].add(Hpp_d)
-                    pad_np = np.arange(num_p, PB)
-                    eye6 = jnp.broadcast_to(
-                        jnp.eye(6, dtype=dt), (pad_np.size, 6, 6))
-                    D5 = D5.at[pad_np // 64, pad_np % 64, :, pad_np % 64, :].add(eye6)
-                    U5 = jnp.zeros((M_band, 64, 6, 64, 6), dt)
-                    U5 = U5.at[np.where(adj_np, tr_np, 0 * tr_np),
-                               np.where(adj_np, lr_np, z64), :,
-                               np.where(adj_np, lc_np, z64), :].add(
-                        jnp.where(adj_np[:, None, None], -blocks, bz))
-                    Db = D5.reshape(M_band, 384, 384)
-                    Ub = U5.reshape(M_band, 384, 384)
-                    x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
-                else:
-                    # replicated dense formation from the reduced block table
-                    # (upper-tri blocks + symmetric mirror, the reference's
-                    # BSR->CSR expansion semantics,
-                    # sparse_block_matrix.cpp:205-226)
-                    D = jnp.zeros((PB, 6, PB, 6), dt)
-                    D = D.at[hsc_row, :, hsc_col, :].add(-blocks)
-                    off = (hsc_row != hsc_col)[:, None, None]
-                    D = D.at[hsc_col, :, hsc_row, :].add(
-                        jnp.where(off, -jnp.swapaxes(blocks, -1, -2),
-                                  jnp.zeros_like(blocks))
-                    )
-                    # replicated: add damped Hpp to diagonal + identity padding
-                    D = D.at[diag, :, diag, :].add(Hpp_d)
-                    Dm = D.reshape(n, n) + jnp.diag(
-                        jnp.concatenate(
-                            [jnp.zeros(6 * num_p, dt), jnp.ones(n - 6 * num_p, dt)])
-                    )
-                    x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
-                xp = x[: 6 * num_p].reshape(num_p, 6)
-                # local back-substitution
-                contrib = jnp.einsum("kij,ki->kj", Hpl, xp[hpl_row], precision="highest")
-                cl = bl - jax.ops.segment_sum(contrib, hpl_col, num_segments=num_l_pad)
-                xl = jnp.einsum("kij,kj->ki", invHll, cl, precision="highest")
-                xl = jnp.where(lm_active, xl, jnp.zeros_like(xl))
-                return xp, xl, ok, bsc
 
             def outer_cond(carry):
                 it, done = carry[0], carry[-1]
@@ -778,6 +810,153 @@ class MultiChipEngine:
             self._mxu_dc = jax.tree.map(jnp.asarray, self.mxu_sp.consts)
         return self._mxu_dc
 
+    # ------------------------------------------------------------------
+    # host-stepped profile (the reference's 8-phase TimeProfile semantics,
+    # cuda_bundle_adjustment.cpp:77-88 — same split as the single-chip
+    # engine.optimize_profiled: phases 2/3/6/7 measured exactly, 4 folded
+    # into 6 and 5 zero like the exact single-chip profile)
+    # ------------------------------------------------------------------
+
+    def _stage_jits(self):
+        """Per-phase shard_map stages over the XLA body's local functions.
+        Sharded intermediates (Hll/bl/Hpl/xl) stay device-resident between
+        stages with a leading [S] axis."""
+        if getattr(self, "_stages", None) is not None:
+            return self._stages
+        num_p = self.num_p
+        sharded, rep = P(AXIS), P()
+        con = (rep, EdgeConsts(*([sharded] * 5)), EdgeConsts(*([sharded] * 5)),
+               sharded, sharded, sharded, sharded, sharded, sharded, rep, rep)
+
+        def local_c(cargs):
+            (cams, mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_k,
+             lm_count, hsc_row, hsc_col) = cargs
+            (mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_k,
+             lm_count) = jax.tree.map(
+                lambda a: a[0],
+                (mono, stereo, hpl_row, hpl_col, mul_i, mul_j, mul_k, lm_count),
+            )
+            return ShardedConsts(cams, mono, stereo, hpl_row, hpl_col,
+                                 mul_i, mul_j, mul_k, lm_count,
+                                 hsc_row, hsc_col)
+
+        def chi_body(qs, ts, Xws_l, *cargs):
+            _, chi_g, _, _ = self._local_fns(local_c(cargs))
+            return chi_g(qs, ts, Xws_l[0])
+
+        def build_body(qs, ts, Xws_l, *cargs):
+            lm_active, _, build, _ = self._local_fns(local_c(cargs))
+            chi, Hpp, bp, Hll, bl, Hpl = build(qs, ts, Xws_l[0])
+            maxd = jnp.maximum(
+                jnp.max(jnp.diagonal(Hpp, axis1=-2, axis2=-1)),
+                jax.lax.pmax(
+                    jnp.max(jnp.where(
+                        lm_active,
+                        jnp.diagonal(Hll, axis1=-2, axis2=-1),
+                        jnp.zeros_like(bl),
+                    )),
+                    AXIS,
+                ),
+            )
+            return chi, Hpp, bp, Hll[None], bl[None], Hpl[None], maxd
+
+        def solve_body(Hpp, bp, Hll, bl, Hpl, lam, *cargs):
+            _, _, _, solve = self._local_fns(local_c(cargs))
+            xp, xl, ok, _ = solve(Hpp, bp, Hll[0], bl[0], Hpl[0], lam)
+            return xp, xl[None], ok
+
+        def update_body(qs, ts, Xws_l, xp, xl):
+            qn, tn = se3.update_pose(xp, qs[:num_p], ts[:num_p])
+            return (qs.at[:num_p].set(qn), ts.at[:num_p].set(tn),
+                    (Xws_l[0] + xl[0])[None])
+
+        def scale_body(xp, xl, bp, bl, lam):
+            sc_local = jnp.sum(xl[0] * (lam * xl[0] + bl[0]))
+            return jnp.sum(xp * (lam * xp + bp)) + jax.lax.psum(sc_local, AXIS)
+
+        def smap(body, in_specs, out_specs):
+            return jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            ))
+
+        self._stages = dict(
+            chi=smap(chi_body, (rep, rep, sharded) + con, rep),
+            build=smap(build_body, (rep, rep, sharded) + con,
+                       (rep, rep, rep, sharded, sharded, sharded, rep)),
+            solve=smap(solve_body,
+                       (rep, rep, sharded, sharded, sharded, rep) + con,
+                       (rep, sharded, rep)),
+            update=smap(update_body, (rep, rep, sharded, rep, sharded),
+                        (rep, rep, sharded)),
+            scale=smap(scale_body, (rep, sharded, rep, sharded, rep), rep),
+        )
+        return self._stages
+
+    def optimize_profiled(self, niterations: int):
+        """Host-stepped multi-chip LM with per-phase timers — the
+        reference-parity TimeProfile on the sharded XLA pipeline (exact
+        timings; the fused body stays the performance path, same split as
+        the single-chip exact profile).  Returns (chis, prof)."""
+        import time
+
+        from cuba_tpu.solver.engine import PROFILE_ITEMS
+
+        cfg = self.config
+        p = self.problem
+        c = p.consts
+        cargs = (c.cams, c.mono, c.stereo, c.hpl_row, c.hpl_col,
+                 c.mul_i, c.mul_j, c.mul_k, c.lm_count, c.hsc_row, c.hsc_col)
+        st = self._stage_jits()
+        prof = {k: 0.0 for k in PROFILE_ITEMS}
+        qs, ts, Xws = p.qs, p.ts, p.Xws
+        chis = []
+        lam, nu, F = 0.0, 2.0, 0.0
+        for it in range(niterations):
+            t0 = time.perf_counter()
+            F_dev, Hpp, bp, Hll, bl, Hpl, maxd = jax.block_until_ready(
+                st["build"](qs, ts, Xws, *cargs)
+            )
+            F = float(F_dev)
+            prof["3: Build System"] += time.perf_counter() - t0
+            if it == 0:
+                lam = cfg.tau * float(maxd)
+            q, rho = 0, -1.0
+            while q < cfg.max_inner_iterations and rho < 0:
+                t0 = time.perf_counter()
+                xp, xl, ok = jax.block_until_ready(
+                    st["solve"](Hpp, bp, Hll, bl, Hpl, self.dtype.type(lam),
+                                *cargs)
+                )
+                prof["6: Numerical Decomposition"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                qs1, ts1, Xws1 = jax.block_until_ready(
+                    st["update"](qs, ts, Xws, xp, xl)
+                )
+                prof["7: Update Solution"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                Fhat = float(st["chi"](qs1, ts1, Xws1, *cargs))
+                prof["2: Compute Error"] += time.perf_counter() - t0
+                scale = float(
+                    st["scale"](xp, xl, bp, bl, self.dtype.type(lam))
+                ) + cfg.scale_eps
+                rho = (F - Fhat) / scale if bool(ok) else -1.0
+                if rho > 0:
+                    a = 1.0 - (2.0 * rho - 1.0) ** 3
+                    lam *= float(np.clip(a, cfg.attenuation_min,
+                                         cfg.attenuation_max))
+                    nu, F = 2.0, Fhat
+                    qs, ts, Xws = qs1, ts1, Xws1
+                    break
+                lam *= nu
+                nu *= 2.0
+                q += 1
+            chis.append(F)
+            if q == cfg.max_inner_iterations or rho <= 0 or not np.isfinite(lam):
+                break
+        p.qs, p.ts, p.Xws = qs, ts, Xws
+        return np.asarray(chis), prof
+
     def optimize(self, niterations: int):
         use_mxu = self.mxu_sp is not None
         key = ("mlm_mxu" if use_mxu else "mlm", niterations)
@@ -848,9 +1027,23 @@ class MultiChipSolverAdapter:
         )
 
     def optimize_profiled(self, state, niterations: int):
-        raise NotImplementedError(
-            "optimize(profile=True) is not supported with BAConfig(mesh=...); "
-            "run the profile pass on a single-chip BundleAdjustment"
+        """Host-stepped multi-chip LM with the reference's 8-phase
+        TimeProfile (exact per-phase timings on the sharded XLA stage
+        pipeline; same phase split as the single-chip exact profile —
+        reference: cuda_bundle_adjustment.cpp:77-88, :793-857)."""
+        from cuba_tpu.solver.engine import LMResult
+
+        chis, prof = self._mc.optimize_profiled(niterations)
+        chis_full = np.zeros(niterations, np.float64)
+        chis_full[: chis.size] = chis
+        return (
+            LMResult(
+                state=self._global_state(),
+                chis=jnp.asarray(chis_full),
+                niters=jnp.int32(chis.size),
+                final_lambda=jnp.asarray(0.0, self.dtype),
+            ),
+            prof,
         )
 
     def chi_squares(self, state) -> np.ndarray:

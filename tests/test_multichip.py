@@ -98,8 +98,9 @@ def test_multichip_with_fixed_landmarks():
 
 def test_multichip_band_and_dense_parity():
     """The band-certified multi-chip path (replicated cyclic reduction) and
-    the forced dense path must produce the same trajectory; banded problems
-    must actually engage the band path under the 'auto' default."""
+    the forced dense path must produce the same trajectory; small banded
+    problems stay dense under 'auto' (the single-chip m >= 8 gate —
+    CR's batched-level overhead only pays off on long trajectories)."""
     if len(jax.devices()) < 4:
         pytest.skip("need 4 devices")
     # >= 129 poses so pad_blocks/64 >= 2 CR blocks (band certification)
@@ -108,7 +109,11 @@ def test_multichip_band_and_dense_parity():
     ba.set_robust_kernels(RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR)
     ba.initialize()
     mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
-    e_auto = MultiChipEngine(ba._engine.structure, ba._kernels, BAConfig(), mesh)
+    e_small = MultiChipEngine(ba._engine.structure, ba._kernels, BAConfig(), mesh)
+    assert e_small.solver == "dense_cholesky" and 2 <= e_small.band_m < 8
+    e_auto = MultiChipEngine(
+        ba._engine.structure, ba._kernels, BAConfig(solver="band_cr"), mesh
+    )
     assert e_auto.solver == "band_cr" and e_auto.band_m >= 2
     e_dense = MultiChipEngine(
         ba._engine.structure, ba._kernels, BAConfig(solver="dense_cholesky"), mesh

@@ -96,7 +96,9 @@ def test_multichip_mxu_band_path():
 
     ba2 = _graph(prob)
     mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
-    cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver="auto")
+    # explicit band_cr: 100 poses is below the auto gate's m >= 8 (the
+    # single-chip crossover — CR pays off on long trajectories only)
+    cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver="band_cr")
     eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, cfg, mesh)
     assert eng.solver == "band_cr", "trajectory graph should band-certify"
     assert eng.mxu_sp is not None
@@ -106,6 +108,42 @@ def test_multichip_mxu_band_path():
     assert n >= 2
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+def test_multichip_profiled_time_profile():
+    """optimize(profile=True) on the mesh path: host-stepped 8-phase
+    TimeProfile (reference: cuda_bundle_adjustment.cpp:77-88) with the
+    same chi2 trajectory as the fused multi-chip run."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    from cuba_tpu.solver.engine import PROFILE_ITEMS
+
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+
+    ba = synthetic.build_graph(prob, config=BAConfig(mesh=mesh))
+    ba.set_robust_kernels(
+        RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR
+    )
+    ba.initialize()
+    ba.optimize(3, profile=True)
+    chis_p = np.array([s.chi2 for s in ba.batch_statistics()])
+    tp = ba.time_profile()
+    assert set(PROFILE_ITEMS) <= set(tp)
+    for k in ("2: Compute Error", "3: Build System",
+              "6: Numerical Decomposition", "7: Update Solution"):
+        assert tp[k] > 0.0, k
+
+    ba2 = synthetic.build_graph(prob, config=BAConfig(mesh=mesh))
+    ba2.set_robust_kernels(
+        RobustKernelType.HUBER, float(np.sqrt(5.991)), EdgeType.MONOCULAR
+    )
+    ba2.initialize()
+    ba2.optimize(3)
+    chis_f = np.array([s.chi2 for s in ba2.batch_statistics()])
+    n = min(len(chis_p), len(chis_f))
+    assert n >= 2
+    np.testing.assert_allclose(chis_p[:n], chis_f[:n], rtol=1e-9)
 
 
 def test_multichip_mxu_fallback_on_cpu_auto():
