@@ -340,6 +340,24 @@ class MultiChipEngine:
             if sp is not None and self.solver != "pcg" and not sp.plans.v2:
                 sp = None  # band/dense formation needs the compact tables
             self.mxu_sp = sp
+            # loop-closure upgrade (MXU path only): banded + a few
+            # long-range blocks solves via the CR factor + Woodbury
+            # correction instead of the dense factorization — same gate as
+            # the single-chip auto (engine.py: m_lr >= 8); the XLA body
+            # keeps the dense path
+            if (sp is not None and sp.plans.lr_nob
+                    and config.solver in ("auto", "band_lr")
+                    and self.solver == "dense_cholesky"):
+                from cuba_tpu.solver import band_cr as _bcr
+
+                m_lr, _ = _bcr.certify_lr(
+                    structure.hsc_row, structure.hsc_col, sp.plans.pad_blocks
+                )
+                if config.solver == "band_lr" or m_lr >= 8:
+                    self.solver = "band_lr"
+            if self.solver == "band_lr" and (
+                    sp is None or not sp.plans.lr_nob):
+                self.solver = "dense_cholesky"  # infeasible: honest fallback
 
     # --- shard-local math --------------------------------------------------
 
@@ -666,6 +684,7 @@ class MultiChipEngine:
         chi_dtype = self.chi_dtype
         use_pcg = self.solver == "pcg"
         use_band = self.solver == "band_cr"
+        use_bandlr = self.solver == "band_lr"
 
         def shard_body(qs, ts, Xws_l, cams, mc):
             Xws_l = Xws_l[0]
@@ -716,6 +735,18 @@ class MultiChipEngine:
                             upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,
                             interpret=interp)
                         x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
+                    elif use_bandlr:
+                        # banded + loop closures: CR factor + Woodbury
+                        # correction over the out-of-band columns (the
+                        # single-chip band_lr path, replicated from the
+                        # psum'd compact tables); >= 1 refinement sweep
+                        # compensates the Gershgorin SPD shift
+                        Db, Ub, Vob = mxu.band_from_compact(
+                            upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,
+                            interpret=interp, with_ob=True)
+                        x, ok = band_cr.cr_solve_woodbury(
+                            Db, Ub, rhs, Vob, mc.ob_i, mc.ob_j, mc.ob_jrows,
+                            max(refine, 1))
                     else:
                         Dm = mxu.dense_from_compact(
                             upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,

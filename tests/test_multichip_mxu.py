@@ -110,6 +110,39 @@ def test_multichip_mxu_band_path():
     assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
 
 
+def test_multichip_mxu_loop_closure_band_lr():
+    """Loop-closure covisibility on the mesh path: the MXU body solves
+    banded + out-of-band blocks with the CR factor + Woodbury correction
+    (band_from_compact with_ob + cr_solve_woodbury) — multi-chip parity
+    for the single-chip band_lr solver.  Uses the fold-resistant chord
+    graph from test_band_lr (a single seam would be re-banded by the
+    cycle-fold ordering and never reach Woodbury)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    from test_band_lr import KERNELS, _loop_graph
+
+    from cuba_tpu.solver.engine import BlockSolverEngine
+
+    s = _loop_graph(num_p=160, num_l=1000, chords=4, seed=3)
+    ref = BlockSolverEngine(
+        s, KERNELS, BAConfig(dtype=jnp.float32, mxu="off", solver="band_lr")
+    )
+    r = ref.optimize(None, 3)
+    chis_single = np.asarray(r.chis)[: int(r.niters)]
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver="band_lr")
+    eng = MultiChipEngine(s, KERNELS, cfg, mesh)
+    assert eng.solver == "band_lr", eng.solver
+    assert eng.mxu_sp is not None and eng.mxu_sp.plans.lr_nob > 0
+    chis_multi, *_ = eng.optimize(3)
+
+    n = min(len(chis_single), len(chis_multi))
+    assert n >= 2
+    rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
+    assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+
+
 def test_multichip_profiled_time_profile():
     """optimize(profile=True) on the mesh path: host-stepped 8-phase
     TimeProfile (reference: cuda_bundle_adjustment.cpp:77-88) with the
