@@ -973,14 +973,15 @@ class BlockSolverEngine:
                 return jnp.clip(a, cfg.attenuation_min, cfg.attenuation_max)
 
             def outer_cond(carry):
-                it, _, _, _, _, _, done = carry
+                it, done = carry[0], carry[-1]
                 return (it < niterations) & ~done
 
             def outer_body(carry):
-                it, st, lam, nu, chis, natt, done = carry
-                err2, Xc2, err3, Xc3, F0 = self._residuals_and_chi(st, consts)
-                F = F0.astype(dt)
-                sys = self._build(st, consts, err2, Xc2, err3, Xc3)
+                it, st, packs, F, lam, nu, chis, natt, done = carry
+                # packs = the residual-pass outputs for st, carried from the
+                # accepted trial's Fhat evaluation (or the pre-loop seed):
+                # each accepted iteration saves one full residual pass
+                sys = self._build(st, consts, *packs)
                 bp, bl = self._rhs_of(sys)
                 lam = jnp.where(
                     it == 0, cfg.tau * self._max_diag(sys).astype(dt), lam
@@ -991,10 +992,14 @@ class BlockSolverEngine:
                     return (q < maxq) & (rho < 0)
 
                 def inner_body(c):
-                    q, _, lam_c, nu_c, _, Fc = c
+                    q, _, lam_c, nu_c, _, _, Fc = c
                     xp, xl, ok = self._solve(sys, lam_c, consts)
                     trial = self._apply_update(st, xp, xl)
-                    Fhat = self._chi_only(trial, consts).astype(dt)
+                    # full residual pass: Fhat now AND, on acceptance, the
+                    # packs the next outer iteration's build consumes (chi is
+                    # the same reduction _chi_only ran — bit-identical)
+                    e2t, x2t, e3t, x3t, F0t = self._residuals_and_chi(trial, consts)
+                    Fhat = F0t.astype(dt)
                     scale = self._scale(xp, xl, bp, bl, lam_c) + dt.type(cfg.scale_eps)
                     rho = jnp.where(ok, (F - Fhat) / scale, dt.type(-1.0))
                     accept = rho > 0
@@ -1008,26 +1013,35 @@ class BlockSolverEngine:
                     lam_n = jnp.where(accept, lam_c * attenuation(rho), lam_c * esc)
                     nu_n = jnp.where(accept, dt.type(2.0), nu_c * 2.0)
                     st_n = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, st)
+                    pk_n = jax.tree.map(
+                        lambda a, b: jnp.where(accept, a, b),
+                        (e2t, x2t, e3t, x3t), packs,
+                    )
                     F_n = jnp.where(accept, Fhat, Fc)
-                    return (q + 1, rho, lam_n, nu_n, st_n, F_n)
+                    return (q + 1, rho, lam_n, nu_n, st_n, pk_n, F_n)
 
-                init = (jnp.int32(0), dt.type(-1.0), lam, nu, st, F)
-                q, rho, lam, nu, st, F = jax.lax.while_loop(inner_cond, inner_body, init)
+                init = (jnp.int32(0), dt.type(-1.0), lam, nu, st, packs, F)
+                q, rho, lam, nu, st, packs, F = jax.lax.while_loop(
+                    inner_cond, inner_body, init
+                )
 
                 chis = chis.at[it].set(F.astype(self.chi_dtype))
                 done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
-                return (it + 1, st, lam, nu, chis, natt + q, done)
+                return (it + 1, st, packs, F, lam, nu, chis, natt + q, done)
 
+            e20, x20, e30, x30, F00 = self._residuals_and_chi(state, consts)
             init = (
                 jnp.int32(0),
                 state,
+                (e20, x20, e30, x30),
+                F00.astype(dt),
                 dt.type(0.0),
                 dt.type(2.0),
                 jnp.zeros((niterations,), self.chi_dtype),
                 jnp.int32(0),
                 jnp.bool_(False),
             )
-            it, st, lam, nu, chis, natt, done = jax.lax.while_loop(
+            it, st, packs, F, lam, nu, chis, natt, done = jax.lax.while_loop(
                 outer_cond, outer_body, init
             )
             return LMResult(state=st, chis=chis, niters=it, final_lambda=lam,
