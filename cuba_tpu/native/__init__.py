@@ -226,6 +226,37 @@ def tile_minmax(ids: np.ndarray, bound: int, tile: int, mode: int, num_tiles: in
     return mn, mx
 
 
+def canonical_ntri(li, lj, sb, chunk: int, slot_block: int, col):
+    """C++ canonical-enumeration check for the Schur local-id streams
+    (symbolic.cpp::ba_canonical_ntri; twin of mxu._canonical_schur_ntri's
+    NumPy verification).  Returns n_tri (or -1 non-canonical), or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ba_canonical_ntri"):
+        return None
+    if not getattr(lib, "_cntri_bound", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.ba_canonical_ntri.restype = ctypes.c_int64
+        lib.ba_canonical_ntri.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i32p, ctypes.c_int64,
+        ]
+        lib._cntri_bound = True
+    li = np.ascontiguousarray(li, np.int32)
+    lj = np.ascontiguousarray(lj, np.int32)
+    sb = np.ascontiguousarray(sb, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    C = sb.size
+    if C * chunk != li.size or lj.size != li.size:
+        return -1
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    return int(lib.ba_canonical_ntri(
+        li.ctypes.data_as(i32p), lj.ctypes.data_as(i32p),
+        sb.ctypes.data_as(i32p), C, int(chunk), int(slot_block),
+        col.ctypes.data_as(i32p), col.size,
+    ))
+
+
 def _bind_delta(lib: ctypes.CDLL) -> None:
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -718,6 +718,48 @@ void ba_delta_probe(const int32_t* x, int64_t n, int64_t chunk,
             : (dmax <= 32767 && dmin >= -32768) ? 1 : 2;
 }
 
+// Canonical-enumeration check for the Schur local-id streams (C++ twin of
+// mxu._canonical_schur_ntri — the NumPy version's three np.diff passes over
+// ~3.6M triplets cost ~0.15s of serial ctor time at kitti00 scale).  The
+// canonical order is: for slot s = 0..n_hpl-1 (landmark-major), j from s to
+// the end of s's landmark run.  li/lj are chunk-local ids (li[t] + sb[t /
+// chunk] * slot_block = global slot); padding (-1) must be tail-only.
+// Returns the valid triplet count, or -1 if non-canonical.
+int64_t ba_canonical_ntri(const int32_t* li, const int32_t* lj,
+                          const int32_t* sb, int64_t C, int32_t chunk,
+                          int32_t slot_block, const int32_t* col,
+                          int64_t n_hpl) {
+  if (n_hpl == 0 || C == 0) return -1;
+  // end of the landmark run containing each slot (col is non-decreasing)
+  std::vector<int64_t> ends(n_hpl);
+  {
+    int64_t run_end = n_hpl;
+    for (int64_t s = n_hpl - 1; s >= 0; --s) {
+      ends[s] = run_end;
+      if (s > 0 && col[s - 1] != col[s]) run_end = s;
+    }
+  }
+  const int64_t total = C * chunk;
+  int64_t s = 0, jj = 0;
+  int64_t n_tri = -1;
+  for (int64_t t = 0; t < total; ++t) {
+    const int32_t a = li[t];
+    if (a < 0) {  // padding starts: must be tail-only
+      n_tri = t;
+      for (int64_t u = t; u < total; ++u)
+        if (li[u] >= 0) return -1;
+      break;
+    }
+    const int64_t base = static_cast<int64_t>(sb[t / chunk]) * slot_block;
+    if (a + base != s || static_cast<int64_t>(lj[t]) + base != jj) return -1;
+    if (++jj == ends[s]) { ++s; jj = s; }
+  }
+  if (n_tri < 0) n_tri = total;
+  // complete enumeration: every slot's run consumed exactly
+  if (s != n_hpl || n_tri < 2) return -1;
+  return n_tri;
+}
+
 // Fill the delta stream for a successful probe: out has ceil(V/chunk)*chunk
 // entries, chunk leads and the tail beyond V are zero.  Exactly one of
 // d8/d16 is non-null (matching the probe's kind).

@@ -406,7 +406,9 @@ def _locality_reorder(num_l, mono: EdgeArrays, stereo: EdgeArrays, Xws):
             )
 
         Xws = Xws.copy()
-        Xws[:num_l] = Xws[:num_l][np.argsort(rank, kind="stable")]
+        # scatter-permute (rank is a permutation: new[rank[old]] = old row);
+        # one O(n) pass instead of argsort + gather
+        Xws[np.asarray(rank, np.int64)] = Xws[:num_l].copy()
         return (
             rank,
             apply(mono, mono_perm, mono_new_li),

@@ -224,3 +224,54 @@ class TestNativeParity:
             n, s = self._both(e_pi, e_li, num_p, num_l)
             assert n.hpl_row.size == s.hpl_row.size == 0
             assert n.lk_K == s.lk_K
+
+
+def test_canonical_ntri_native_matches_numpy():
+    """C++ canonical-enumeration check (native.canonical_ntri) vs the NumPy
+    twin in mxu._canonical_schur_ntri: same count on the canonical stream,
+    both reject a perturbed one."""
+    import cuba_tpu.native as N
+    from cuba_tpu import native
+    from cuba_tpu.io import synthetic
+    from cuba_tpu.solver import mxu
+    from cuba_tpu.solver.structure import build_structure_from_arrays
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    prob = synthetic.generate(num_poses=40, num_landmarks=400, seed=3)
+    cams = np.tile(prob.cam, (40, 1))
+    fp = np.zeros(40, bool)
+    fp[prob.fixed_poses] = True
+    s = build_structure_from_arrays(
+        prob.qs, prob.ts, cams, prob.Xws, fp, np.zeros(400, bool),
+        prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+        prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+    )
+    sc = mxu.plan_schur_for(s)
+    col = np.asarray(s.hpl_col, np.int64)
+
+    def numpy_ref(plan):
+        orig = N.canonical_ntri
+        N.canonical_ntri = lambda *a, **k: None
+        try:
+            return mxu._canonical_schur_ntri(plan, col)
+        finally:
+            N.canonical_ntri = orig
+
+    nat = native.canonical_ntri(sc.li, sc.lj, sc.sb, sc.chunk, sc.slot_block, col)
+    ref = numpy_ref(sc)
+    assert nat == ref and nat > 0, (nat, ref)
+
+    li = np.asarray(sc.li).copy()
+    v = np.flatnonzero(li >= 0)
+    i = next(k for k in range(len(v) - 1) if li[v[k]] != li[v[k + 1]])
+    li[v[i]], li[v[i + 1]] = li[v[i + 1]], li[v[i]]
+    sc2 = sc.__class__(sc.chunk, sc.slot_block, sc.kwin, sc.num_chunks, sc.sb,
+                       li, sc.lj, sc.lk, sc.gid, sc.n_slot_pad, sc.n_hsc_pad,
+                       sc.ok)
+    nat2 = native.canonical_ntri(li, sc2.lj, sc2.sb, sc2.chunk,
+                                 sc2.slot_block, col)
+    assert nat2 == -1 and numpy_ref(sc2) == -1
