@@ -253,3 +253,40 @@ class TestSolverVariants:
         # strict monotone descent, no rejected steps at this benign scale
         chis = np.asarray(res.chis)[: int(res.niters)]
         assert np.all(np.diff(chis) < 0)
+
+
+class TestMultiChipOnChip:
+    """The multi-chip MXU body compiled for the real chip (1-device mesh —
+    the only real-hardware configuration; the 8-device CPU mesh covers
+    multi-shard semantics in interpret mode, tests/test_multichip_mxu.py)."""
+
+    def test_multichip_mxu_1dev_mesh_descends(self):
+        from jax.sharding import Mesh
+
+        from cuba_tpu.parallel.sharding import AXIS, MultiChipEngine
+        from cuba_tpu.solver.structure import build_structure_from_arrays
+
+        num_poses, num_landmarks = 12, 150
+        prob = synthetic.generate(
+            num_poses=num_poses, num_landmarks=num_landmarks, seed=7
+        )
+        cams = np.tile(prob.cam, (num_poses, 1))
+        fp = np.zeros(num_poses, bool)
+        fp[prob.fixed_poses] = True
+        s = build_structure_from_arrays(
+            prob.qs, prob.ts, cams, prob.Xws, fp, np.zeros(num_landmarks, bool),
+            prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+            prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+        )
+        ref = BlockSolverEngine(s, KERNELS, BAConfig(dtype=jnp.float32))
+        r = ref.optimize(None, 4)
+        chis_ref = np.asarray(r.chis)[: int(r.niters)]
+
+        mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
+        eng = MultiChipEngine(s, KERNELS, BAConfig(dtype=jnp.float32), mesh)
+        assert eng.mxu_sp is not None, "MXU shard plan must engage on TPU"
+        chis, *_ = eng.optimize(4)
+        n = min(len(chis_ref), len(chis))
+        assert n >= 3
+        rel = np.abs(chis_ref[:n] - chis[:n]) / np.abs(chis_ref[:n])
+        assert np.all(rel < 5e-3), list(zip(chis_ref[:n], chis[:n]))
