@@ -457,14 +457,25 @@ class MultiChipEngine:
             # table; pad triplets carry mul_k == n_hsc and drop out.  The
             # all-reduce moves 36*n_hsc floats (~1.7 MB at kitti00 scale)
             # instead of the padded dense image (~285 MB).
-            prod = jnp.einsum("tik,tjk->tij", W[jnp.minimum(mul_i, n_hpl_pad - 1)],
-                              Hpl[jnp.minimum(mul_j, n_hpl_pad - 1)],
-                              precision="highest")
-            pad_t = (mul_i >= n_hpl_pad)[:, None, None]
-            prod = jnp.where(pad_t, jnp.zeros_like(prod), prod)
+            # Layout: gathers and products run in 2-D [18|36, T] rows — on a
+            # real chip the [T, 6, 6] form pads 28x under the (8, 128) HBM
+            # tiling (measured 7.4 GB for the product alone at kitti00
+            # scale, an OOM); the row form pads ~1.3x.
+            WT = W.reshape(-1, 18).T  # [18, n_hpl_local]
+            GT = Hpl.reshape(-1, 18).T
+            safe_i = jnp.minimum(mul_i, n_hpl_pad - 1)
+            safe_j = jnp.minimum(mul_j, n_hpl_pad - 1)
+            Wg = WT[:, safe_i]  # [18, T], rows (i*3+k)
+            Gg = GT[:, safe_j]  # [18, T], rows (j*3+k)
+            prod36 = jnp.stack([
+                sum(Wg[3 * a + k] * Gg[3 * b + k] for k in range(3))
+                for a in range(6) for b in range(6)
+            ])  # [36, T], row (a*6+b)
+            prod36 = jnp.where((mul_i >= n_hpl_pad)[None, :],
+                               jnp.zeros_like(prod36), prod36)
             blocks = jax.ops.segment_sum(
-                prod, jnp.minimum(mul_k, n_hsc), num_segments=n_hsc + 1
-            )[:n_hsc]
+                prod36.T, jnp.minimum(mul_k, n_hsc), num_segments=n_hsc + 1
+            )[:n_hsc].reshape(-1, 6, 6)
             blocks = jax.lax.psum(blocks, AXIS)
             bsc = bp + jax.lax.psum(bsc_local, AXIS)
             if use_pcg:
