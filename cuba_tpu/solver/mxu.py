@@ -353,15 +353,23 @@ def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
     return n_tri
 
 
-def pack_schur_ids(sc, col: Optional[np.ndarray] = None) -> Tuple[str, dict]:
-    """Wire-pack the schur local-id streams (li, lj, lk): "dv" ships ONLY
-    lk (int16, delta-encodable) and derives li/lj on device from hpl_col
-    (canonical enumeration — see _canonical_schur_ntri); otherwise 3-way
-    li|lj|lk in one int32 when compact kwin keeps lk < 254, else 2-way
-    li|lj with lk riding int16.  Returns (mode, {field: array}) — shared by
-    plan_mxu and the early upload so both make the IDENTICAL packing
-    decision for the same plan.  ``col`` is the unpadded hpl_col slot table
-    (required for "dv")."""
+_HSC_KEY_PAD = np.int32(2**31 - 1)  # hsc_key tail pad: above every real key
+
+
+def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
+                   hsc: Optional[tuple] = None) -> Tuple[str, dict]:
+    """Wire-pack the schur local-id streams (li, lj, lk): "dv2" ships ONLY
+    the tiny ascending hsc block-key table (row*num_p+col, delta-encodable
+    to ~KBs) and derives li/lj AND lk on device (lk = rank of the triplet's
+    Hsc key among the chunk's ascending distinct keys — the definition
+    native/symbolic.cpp:346-386 implements host-side); "dv" ships lk int16
+    and derives li/lj from hpl_col (canonical enumeration — see
+    _canonical_schur_ntri); otherwise 3-way li|lj|lk in one int32 when
+    compact kwin keeps lk < 254, else 2-way li|lj with lk riding int16.
+    Returns (mode, {field: array}) — shared by plan_mxu and the early
+    upload so both make the IDENTICAL packing decision for the same plan.
+    ``col`` is the unpadded hpl_col slot table (required for "dv"/"dv2");
+    ``hsc`` = (hsc_row, hsc_col, num_p) enables "dv2"."""
     dummy = np.zeros(1, np.int32)
     if sc is None:
         return "none", {"sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
@@ -381,10 +389,30 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None) -> Tuple[str, dict]:
                     return a.astype(np.int16)
                 return a.astype(np.int32)
 
-            out = "dv", {
-                "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
-                "sc_lk": narrow16(lk32), "sc_ntri": n_tri,
-            }
+            key = None
+            if hsc is not None:
+                hsc_row, hsc_col, num_p = hsc
+                # mul_k is the SORTED rank of the pair key (np.unique /
+                # the C++ hash-map+sort agree — asserted identical in
+                # tests/test_structure.py), so the device can recover it
+                # with one searchsorted; gate on int32 key range and a
+                # strictly-ascending table (structure.py:563-569)
+                if 0 < len(hsc_row) and num_p <= 46340:
+                    k64 = (np.asarray(hsc_row, np.int64) * num_p
+                           + np.asarray(hsc_col, np.int64))
+                    if k64.size == 1 or bool(np.all(np.diff(k64) > 0)):
+                        key = np.full(sc.n_hsc_pad, _HSC_KEY_PAD, np.int32)
+                        key[: k64.size] = k64.astype(np.int32)
+            if key is not None:
+                out = "dv2", {
+                    "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
+                    "sc_lk": dummy, "hsc_key": key, "sc_ntri": n_tri,
+                }
+            else:
+                out = "dv", {
+                    "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
+                    "sc_lk": narrow16(lk32), "sc_ntri": n_tri,
+                }
             _PACK_SCHUR_CACHE[0] = sc
             _PACK_SCHUR_CACHE[1] = out
             return out
