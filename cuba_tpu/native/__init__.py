@@ -52,12 +52,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     for name in ("ba_n_hpl", "ba_n_hsc", "ba_n_mul"):
         getattr(lib, name).restype = ctypes.c_int64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
-    lib.ba_lk_K.restype = ctypes.c_int32
-    lib.ba_lk_K.argtypes = [ctypes.c_void_p]
     lib.ba_copy_hpl.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
     lib.ba_copy_hsc.argtypes = [ctypes.c_void_p, i32p, i32p]
     lib.ba_copy_mul.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
-    lib.ba_copy_lk.argtypes = [ctypes.c_void_p, i32p, i32p]
     lib.ba_symbolic_free.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -122,7 +119,7 @@ def _bind_fsp(lib: ctypes.CDLL) -> None:
 def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int):
     """Run the C++ symbolic pass.  Returns the same tuple as the NumPy path:
     (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
-    lk_K, lk_pose, edge2lk, schur_plan) — or None when the native library is
+    schur_plan) — or None when the native library is
     unavailable.  ``schur_plan`` is the fused Schur chunk plan
     (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) computed in
     the same C++ pass (chunk=1024, slot_block=512, max_kwin=1024), or None
@@ -143,7 +140,6 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         n_hpl = lib.ba_n_hpl(h)
         n_hsc = lib.ba_n_hsc(h)
         n_mul = lib.ba_n_mul(h)
-        K = lib.ba_lk_K(h)
         hpl_row = np.empty(n_hpl, np.int32)
         hpl_col = np.empty(n_hpl, np.int32)
         edge2hpl = np.empty(e_pi.size, np.int32)
@@ -155,9 +151,6 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         mul_j = np.empty(n_mul, np.int32)
         mul_k = np.empty(n_mul, np.int32)
         lib.ba_copy_mul(h, ptr(mul_i), ptr(mul_j), ptr(mul_k))
-        lk_pose = np.empty(num_l * K, np.int32)
-        edge2lk = np.empty(e_pi.size, np.int32)
-        lib.ba_copy_lk(h, ptr(lk_pose), ptr(edge2lk))
         schur_plan = None
         if hasattr(lib, "ba_fsp_kwin"):
             if not getattr(lib, "_fsp_bound", False):
@@ -187,9 +180,6 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
         mul_i,
         mul_j,
         mul_k,
-        int(K),
-        lk_pose,
-        edge2lk,
         schur_plan,
     )
 

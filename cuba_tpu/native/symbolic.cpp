@@ -39,10 +39,6 @@ struct SymbolicResult {
   std::vector<int32_t> mul_i;
   std::vector<int32_t> mul_j;
   std::vector<int32_t> mul_k;
-  // LK layout: per free landmark, its Hpl slots padded to K.
-  int32_t lk_K = 0;
-  std::vector<int32_t> lk_pose;  // [num_l * K], num_p where padded
-  std::vector<int32_t> edge2lk;  // [E], slot into [num_l*K]; num_l*K if none
   // Fused Schur chunk plan (ops/segmm.py::SchurPlan semantics) computed in
   // the same pass — the triplets are generated landmark-major so the plan
   // needs no re-sort.  chunk=1024 / slot_block=512 / max_kwin=1024 (the
@@ -209,28 +205,6 @@ void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
   for (int64_t e = 0; e < n_edges; ++e)
     res->edge2hpl[e] =
         slot_of_edge[e] < 0 ? static_cast<int32_t>(n_hpl) : static_cast<int32_t>(slot_of_edge[e]);
-
-  // --- LK layout: slot rank within its column, K = max column length ------
-  int64_t maxK = 0;
-  for (int32_t l = 0; l < num_l; ++l)
-    maxK = std::max(maxK, col_start[l + 1] - col_start[l]);
-  // round K up to a power of two (static shape stability across problems)
-  int64_t K = 1;
-  while (K < maxK) K <<= 1;
-  if (num_l == 0) K = 0;
-  res->lk_K = static_cast<int32_t>(K);
-  res->lk_pose.assign(static_cast<size_t>(num_l) * K, num_p);  // num_p = pad
-  for (int32_t l = 0; l < num_l; ++l)
-    for (int64_t s = col_start[l]; s < col_start[l + 1]; ++s)
-      res->lk_pose[static_cast<size_t>(l) * K + (s - col_start[l])] = res->hpl_row[s];
-  res->edge2lk.assign(n_edges, static_cast<int32_t>(static_cast<int64_t>(num_l) * K));
-  for (int64_t e = 0; e < n_edges; ++e) {
-    int64_t s = slot_of_edge[e];
-    if (s >= 0) {
-      int32_t l = res->hpl_col[s];
-      res->edge2lk[e] = static_cast<int32_t>(static_cast<int64_t>(l) * K + (s - col_start[l]));
-    }
-  }
 
   // --- Hsc block pattern + mul triplets (landmark-major order) -----------
   // per landmark column: all slot pairs (a, b), a <= b (row_a <= row_b since
@@ -402,8 +376,6 @@ int64_t ba_n_hsc(const void* h) {
 int64_t ba_n_mul(const void* h) {
   return static_cast<const SymbolicResult*>(h)->mul_i.size();
 }
-int32_t ba_lk_K(const void* h) { return static_cast<const SymbolicResult*>(h)->lk_K; }
-
 static void copy32(const std::vector<int32_t>& v, int32_t* dst) {
   std::memcpy(dst, v.data(), v.size() * sizeof(int32_t));
 }
@@ -425,12 +397,6 @@ void ba_copy_mul(const void* h, int32_t* i, int32_t* j, int32_t* k) {
   copy32(r->mul_j, j);
   copy32(r->mul_k, k);
 }
-void ba_copy_lk(const void* h, int32_t* lk_pose, int32_t* edge2lk) {
-  const auto* r = static_cast<const SymbolicResult*>(h);
-  copy32(r->lk_pose, lk_pose);
-  copy32(r->edge2lk, edge2lk);
-}
-
 // fused Schur-plan getters (chunk=1024, slot_block=512, max_kwin=1024)
 int32_t ba_fsp_kwin(const void* h) { return static_cast<const SymbolicResult*>(h)->sp_kwin; }
 int32_t ba_fsp_ok(const void* h) { return static_cast<const SymbolicResult*>(h)->sp_ok; }

@@ -86,8 +86,18 @@ class LMResult(NamedTuple):
     nattempts: jnp.ndarray = np.int32(0)  # total damped solves (inner trials)
 
 
-def _pad_blocks(num_p: int) -> int:
-    return max(((num_p + _BLOCK_PAD - 1) // _BLOCK_PAD) * _BLOCK_PAD, _BLOCK_PAD)
+def _pad_blocks(num_p: int, pad: int = _BLOCK_PAD) -> int:
+    """Dense reduced-system padding in pose blocks (BAConfig.pose_block_pad).
+
+    Must stay a multiple of 128: the MXU dense/band formation maps PB onto
+    64x128 lane tiles (mxu.plan_mxu raises otherwise), and 128 blocks = 768
+    scalars covers both the lane count and the band solver's 384-wide CR
+    tiles (64 blocks)."""
+    if pad % 128 != 0 or pad <= 0:
+        raise ValueError(
+            f"pose_block_pad must be a positive multiple of 128, got {pad}"
+        )
+    return max(((num_p + pad - 1) // pad) * pad, pad)
 
 
 class _EarlyRef:
@@ -411,7 +421,7 @@ class BlockSolverEngine:
 
         s = structure
         self.num_p, self.num_l = s.num_p, s.num_l
-        self.pad_blocks = _pad_blocks(s.num_p)
+        self.pad_blocks = _pad_blocks(s.num_p, config.pose_block_pad)
         # band certification (host): block-tridiagonal CR applies when the
         # Schur pattern's half-bandwidth fits 64 pose blocks per CR block.
         # Long-range (loop closure) blocks don't fail certification — they
@@ -568,7 +578,7 @@ class BlockSolverEngine:
                 "measT_m", "measT_s", "omegaT_m", "omegaT_s",
                 "e2h_m", "e2h_s", "hpl_row", "hpl_col",
                 "pose_gid_m", "pose_gid_s",
-                "sc_lij", "sc_lk",
+                "sc_lij", "sc_lk", "hsc_key",
             ):
                 r = eref(name, getattr(mxu_consts, name))
                 if r is not None:
@@ -609,10 +619,12 @@ class BlockSolverEngine:
             np_, nl_, rows_ = self.num_p, self.num_l, self.use_rows
             scp_ = self.mxu_plans.sc_pack
             sc_dv = None
-            if scp_ == "dv" and self.mxu_plans.schur is not None:
+            if scp_ in ("dv", "dv2") and self.mxu_plans.schur is not None:
                 sch = self.mxu_plans.schur
                 sc_dv = (s.n_hpl, sch.chunk, sch.slot_block,
                          self.mxu_plans.sc_ntri, sch.num_chunks)
+                if scp_ == "dv2":
+                    sc_dv += (sch.kwin, self.mxu_plans.maxw)
             transform = lambda t: (
                 t[0], t[1]._replace(
                     mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_, scp_,

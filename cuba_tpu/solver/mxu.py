@@ -123,9 +123,6 @@ class MXUConsts(NamedTuple):
     bb_up: jnp.ndarray
     bb_lo: jnp.ndarray
     occ: jnp.ndarray  # [T_P*T_Q] band-transpose tile occupancy
-    # dense scatter pattern
-    hsc_row: jnp.ndarray  # [n_hsc]
-    hsc_col: jnp.ndarray
     # v2 formation constants (1-element dummies when plans.v2 is False)
     gkey_up2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] row-rank key
     gkey_cl2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] col-rank key
@@ -172,6 +169,11 @@ class MXUConsts(NamedTuple):
     ob_i: jnp.ndarray = np.zeros(1, np.int32)  # [n_ob]
     ob_j: jnp.ndarray = np.zeros(1, np.int32)  # [n_ob]
     ob_jrows: jnp.ndarray = np.zeros(1, np.int32)  # [6*lr_k]
+    # "dv2" wire mode: ascending Hsc block keys row*num_p+col ([n_hsc_pad],
+    # _HSC_KEY_PAD tail) — derive_consts rebuilds sc_li/sc_lj AND sc_lk from
+    # this + hpl_col/hpl_row/gkey_up2, replacing the ~7 MB lk stream at
+    # kitti00 scale (dummy outside dv2)
+    hsc_key: jnp.ndarray = np.zeros(1, np.int32)
 
 
 @dataclasses.dataclass
@@ -356,25 +358,41 @@ def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
 _HSC_KEY_PAD = np.int32(2**31 - 1)  # hsc_key tail pad: above every real key
 
 
+def _maxw_of(hsc_row, hsc_col) -> Tuple[int, int]:
+    """(maxw, maxwc) exactly as plan_mxu's v2 block computes them: max Hsc
+    blocks per block-row/column, maxw rounded up even (lane alignment)."""
+    hr = np.asarray(hsc_row, np.int64)
+    hc = np.asarray(hsc_col, np.int64)
+    maxw = int(np.bincount(hr).max()) if hr.size else 1
+    maxw += maxw % 2
+    maxw = max(maxw, 2)
+    maxwc = max(int(np.bincount(hc).max()) if hc.size else 1, 1)
+    maxwc += maxwc % 2
+    return maxw, maxwc
+
+
 def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                    hsc: Optional[tuple] = None) -> Tuple[str, dict]:
     """Wire-pack the schur local-id streams (li, lj, lk): "dv2" ships ONLY
-    the tiny ascending hsc block-key table (row*num_p+col, delta-encodable
-    to ~KBs) and derives li/lj AND lk on device (lk = rank of the triplet's
-    Hsc key among the chunk's ascending distinct keys — the definition
-    native/symbolic.cpp:346-386 implements host-side); "dv" ships lk int16
-    and derives li/lj from hpl_col (canonical enumeration — see
-    _canonical_schur_ntri); otherwise 3-way li|lj|lk in one int32 when
-    compact kwin keeps lk < 254, else 2-way li|lj with lk riding int16.
+    the tiny ascending hsc block-key table (row*num_p+col) and derives li/lj
+    AND lk on device (lk = rank of the triplet's Hsc block among the chunk's
+    ascending distinct blocks — the definition native/symbolic.cpp implements
+    host-side; the device recovers it from hsc_key + the v2 row-rank window
+    keys gkey_up2, see derive_consts); "dv" ships lk int16 and derives li/lj
+    from hpl_col (canonical enumeration — see _canonical_schur_ntri);
+    otherwise 3-way li|lj|lk in one int32 when compact kwin keeps lk < 254,
+    else 2-way li|lj with lk riding int16.
     Returns (mode, {field: array}) — shared by plan_mxu and the early
     upload so both make the IDENTICAL packing decision for the same plan.
     ``col`` is the unpadded hpl_col slot table (required for "dv"/"dv2");
-    ``hsc`` = (hsc_row, hsc_col, num_p) enables "dv2"."""
+    ``hsc`` = (hsc_row, hsc_col, num_p) enables "dv2" (the caller must only
+    pass it when the v2 formation constants — gkey_up2 — will be on device)."""
     dummy = np.zeros(1, np.int32)
     if sc is None:
         return "none", {"sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
                         "sc_lk": dummy}
-    if _PACK_SCHUR_CACHE[0] is sc:
+    ckey = (id(sc), col is not None, hsc is not None)
+    if _PACK_SCHUR_CACHE[0] == ckey:
         return _PACK_SCHUR_CACHE[1]
     li32 = np.asarray(sc.li, np.int32)
     lj32 = np.asarray(sc.lj, np.int32)
@@ -395,9 +413,15 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                 # mul_k is the SORTED rank of the pair key (np.unique /
                 # the C++ hash-map+sort agree — asserted identical in
                 # tests/test_structure.py), so the device can recover it
-                # with one searchsorted; gate on int32 key range and a
-                # strictly-ascending table (structure.py:563-569)
-                if 0 < len(hsc_row) and num_p <= 46340:
+                # with one searchsorted; gate on int32 key range, a
+                # strictly-ascending table (structure.py), the v2 window
+                # geometry (lk derivation rides gkey_up2), and the
+                # flattened per-chunk searchsorted offsets fitting int32
+                maxw, maxwc = _maxw_of(hsc_row, hsc_col)
+                stride = num_p * maxw + maxw
+                if (0 < len(hsc_row) and num_p <= 46340
+                        and maxw <= 64 and maxwc <= 64
+                        and sc.num_chunks * stride < 2**31 - 1):
                     k64 = (np.asarray(hsc_row, np.int64) * num_p
                            + np.asarray(hsc_col, np.int64))
                     if k64.size == 1 or bool(np.all(np.diff(k64) > 0)):
@@ -413,7 +437,7 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                     "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
                     "sc_lk": narrow16(lk32), "sc_ntri": n_tri,
                 }
-            _PACK_SCHUR_CACHE[0] = sc
+            _PACK_SCHUR_CACHE[0] = ckey
             _PACK_SCHUR_CACHE[1] = out
             return out
 
@@ -450,7 +474,7 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
             "sc_lj": narrow(lj32) if lj32.size else dummy,
             "sc_lk": narrow(lk32) if lk32.size else dummy,
         }
-    _PACK_SCHUR_CACHE[0] = sc
+    _PACK_SCHUR_CACHE[0] = ckey
     _PACK_SCHUR_CACHE[1] = out
     return out
 
@@ -485,11 +509,20 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
         "pose_gid_s": pad_ids(s.stereo.pose_idx, e_pad_s),
     }
     if sc is not None:
-        _mode, ids = pack_schur_ids(sc, col=np.asarray(s.hpl_col))
+        # predict plan_mxu's packing decision: pass hsc when the v2 window
+        # geometry will hold (pack_schur_ids gates on maxw/maxwc itself; a
+        # rare up2/cl2 plan failure downgrades plan_mxu to "dv" and the lk
+        # stream simply rides the main blob instead — wire cost, not error)
+        _mode, ids = pack_schur_ids(
+            sc, col=np.asarray(s.hpl_col),
+            hsc=(s.hsc_row, s.hsc_col, s.num_p),
+        )
         if ids["sc_lij"].size > 1:
             out["sc_lij"] = (ids["sc_lij"], 0)
         if ids["sc_lk"].size > 1:
             out["sc_lk"] = (ids["sc_lk"], 0)
+        if "hsc_key" in ids:
+            out["hsc_key"] = (ids["hsc_key"], int(_HSC_KEY_PAD))
     return {
         k: (v if isinstance(v, tuple) else (v, -1)) for k, v in out.items()
     }
@@ -862,14 +895,18 @@ def plan_mxu(
     # lk < 254, else 2-way li|lj with lk riding int16 (pack_schur_ids —
     # shared with the early-upload path: identical decision per plan)
     if wire_pack:
+        # "dv2" needs gkey_up2 on device for the lk derivation — only offer
+        # the hsc table when the v2 formation actually planned
         plans.sc_pack, _scids = pack_schur_ids(
-            sc, col=None if sc is None else np.asarray(s.hpl_col)
+            sc, col=None if sc is None else np.asarray(s.hpl_col),
+            hsc=(s.hsc_row, s.hsc_col, num_p) if v2 else None,
         )
         plans.sc_ntri = int(_scids.get("sc_ntri", 0))
         sc_lij = _scids["sc_lij"]
         sc_li = _scids["sc_li"]
         sc_lj = _scids["sc_lj"]
         sc_lk_c = _scids["sc_lk"]
+        hsc_key_c = _scids.get("hsc_key", dummy)
     else:
         # expanded local-id streams: nothing to unpack on device
         plans.sc_pack, plans.sc_ntri = "none", 0
@@ -877,6 +914,7 @@ def plan_mxu(
         sc_li = np.asarray(sc.li, i32) if sc is not None else dummy
         sc_lj = np.asarray(sc.lj, i32) if sc is not None else dummy
         sc_lk_c = np.asarray(sc.lk, i32) if sc is not None else dummy
+        hsc_key_c = dummy
 
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
@@ -902,6 +940,7 @@ def plan_mxu(
         sc_lj=sc_lj,
         sc_lk=sc_lk_c,
         sc_lij=sc_lij,
+        hsc_key=hsc_key_c,
         wb_paw_m=np.asarray(paw_m.wb, i32) if paw_m.ok else dummy,
         wb_paw_s=np.asarray(paw_s.wb, i32) if paw_s.ok else dummy,
         wb_paw_b=np.asarray(paw_b.wb, i32) if paw_b.ok else dummy,
@@ -910,10 +949,6 @@ def plan_mxu(
         bb_up=bb_up,
         bb_lo=bb_lo,
         occ=occ_c,
-        # device-side hsc ids became dead when the scatter-based dense
-        # formation was replaced (schur_dense_mxu); keep 1-elt placeholders
-        hsc_row=dummy,
-        hsc_col=dummy,
         **v2_consts,
         **rows_consts,
         **ob_consts,
@@ -927,21 +962,26 @@ def derive_consts(
 ) -> MXUConsts:
     """Expand the wire-compressed constants on device (engine calls this in
     one jitted dispatch right after the packed upload): rebuild sc_li/sc_lj
-    from hpl_col ("dv" mode — canonical triplet enumeration, nothing on the
-    wire) or unpack sc_lij, derive the gated acc tables and the rank-order
-    pose gather ids from the gids.
+    from hpl_col ("dv"/"dv2" modes — canonical triplet enumeration, nothing
+    on the wire) and sc_lk from hsc_key + gkey_up2 ("dv2"), or unpack
+    sc_lij; derive the gated acc tables and the rank-order pose gather ids
+    from the gids.
 
     ``sc_dv`` = (n_hpl, chunk, slot_block, n_tri, num_chunks) statics for
-    the "dv" derivation (None otherwise).
+    the "dv" derivation; "dv2" appends (kwin, maxw) (None otherwise).
     """
+    if sc_pack not in ("none", "p2", "p3", "dv", "dv2"):
+        raise ValueError(f"unknown sc_pack mode {sc_pack!r}")
+    if sc_pack in ("dv", "dv2") and sc_dv is None:
+        raise ValueError(f"sc_pack={sc_pack!r} requires sc_dv statics")
     upd = {}
-    if sc_pack == "dv" and sc_dv is not None:
+    if sc_pack in ("dv", "dv2"):
         # canonical enumeration: for landmark l with slots [a_l, b_l), the
         # triplets are (i, j) for i = a_l..b_l-1, j = i..b_l-1 in order —
         # verified host-side by _canonical_schur_ntri before choosing "dv".
         # One scatter + two cumsums + three gathers + an inverse-triangular
         # index inversion; replaces a ~7.8 MB wire table at kitti00 scale.
-        n_hpl, chunk, slot_block, n_tri, C = sc_dv
+        n_hpl, chunk, slot_block, n_tri, C = sc_dv[:5]
         col = mc.hpl_col[:n_hpl]
         nl = jnp.zeros(num_l, jnp.int32).at[col].add(1)
         start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nl)])
@@ -976,8 +1016,45 @@ def derive_consts(
             mc.sc_sb[:, None] * slot_block, (C, chunk)
         ).reshape(-1)
         valid = t < n_tri
-        upd["sc_li"] = jnp.where(valid, start[lm_c] + i0 - base, -1)
-        upd["sc_lj"] = jnp.where(valid, start[lm_c] + j0 - base, -1)
+        gi = start[lm_c] + i0  # global Hpl slot of the W operand
+        gj = start[lm_c] + j0
+        upd["sc_li"] = jnp.where(valid, gi - base, -1)
+        upd["sc_lj"] = jnp.where(valid, gj - base, -1)
+        if sc_pack == "dv2":
+            # lk = rank of the triplet's Hsc block among its chunk's
+            # ascending distinct blocks (SchurPlan.gid semantics).  The
+            # block id mk comes from one searchsorted of the pair key
+            # row_i*num_p + row_j against the ascending hsc_key table;
+            # the chunk-local rank from a second searchsorted of the
+            # block's v2 row-rank key (row*maxw + within-row position —
+            # strictly increasing in mk) against the shipped per-chunk
+            # window keys gkey_up2 ([C, kwin], ascending, -1 tail).
+            kwin, maxw = sc_dv[5], sc_dv[6]
+            hk = mc.hsc_key
+            # hpl_row may still be int16-narrowed here (the packed-upload
+            # path widens before deriving, test paths may not): the pair
+            # key below needs int32 arithmetic
+            ri = mc.hpl_row[jnp.clip(gi, 0, n_hpl - 1)].astype(jnp.int32)
+            rj = mc.hpl_row[jnp.clip(gj, 0, n_hpl - 1)].astype(jnp.int32)
+            key = ri * num_p + rj
+            mk = jnp.searchsorted(hk, key).astype(jnp.int32)
+            # first block of each row r sits at searchsorted(hk, r*num_p)
+            rowstart = jnp.searchsorted(
+                hk, jnp.arange(num_p, dtype=jnp.int32) * num_p
+            ).astype(jnp.int32)
+            rk = ri * maxw + (mk - rowstart[jnp.clip(ri, 0, num_p - 1)])
+            stride = num_p * maxw + maxw  # > any rkey; C*stride gated int32
+            cidx = t // chunk
+            goff = jnp.repeat(
+                jnp.arange(C, dtype=jnp.int32) * stride, kwin
+            )
+            flat = jnp.where(
+                mc.gkey_up2 >= 0, mc.gkey_up2, stride - 1
+            ) + goff
+            lk = jnp.searchsorted(flat, rk + cidx * stride).astype(
+                jnp.int32
+            ) - cidx * kwin
+            upd["sc_lk"] = jnp.where(valid, lk, -1)
     elif mc.sc_lij.size > 1:
         if sc_pack == "p3":
             upd["sc_li"] = (mc.sc_lij >> 19) - 1

@@ -73,12 +73,6 @@ class BAStructure:
     mul_i: np.ndarray  # [n_mul] Hpl slot
     mul_j: np.ndarray  # [n_mul] Hpl slot (same landmark column, row >= row of i)
     mul_k: np.ndarray  # [n_mul] Hsc block id (ascending - segment_sum friendly)
-    # LK layout: per free landmark, Hpl slots padded to K (power of two).
-    # Slot (l, r) holds the Hpl block of landmark l's r-th observing pose;
-    # padding slots have lk_pose == num_p.  Hpl slot s <-> (hpl_col[s], rank).
-    lk_K: int = 0
-    lk_pose: np.ndarray = None  # [num_l * K] int32
-    edge2lk: np.ndarray = None  # [E2+E3] int32; num_l*K if edge has no slot
     # internal edge order (edges are sorted by (landmark, pose) for the MXU
     # window plans): internal_edges = original_edges[perm].  Per-edge outputs
     # (chiSquared) must be scattered back through these.
@@ -508,7 +502,7 @@ def _finish_structure(
     nat = native.symbolic_compile(e_pi, e_li, num_p, num_l)
     if nat is not None:
         (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
-         lk_K, lk_pose, edge2lk, schur_native) = nat
+         schur_native) = nat
         return BAStructure(
             num_p=num_p,
             num_l=num_l,
@@ -528,9 +522,6 @@ def _finish_structure(
             mul_i=mul_i,
             mul_j=mul_j,
             mul_k=mul_k,
-            lk_K=lk_K,
-            lk_pose=lk_pose,
-            edge2lk=edge2lk,
             mono_perm=mono_perm,
             stereo_perm=stereo_perm,
             lm_rank=lm_rank,
@@ -575,23 +566,6 @@ def _finish_structure(
         hsc_col = np.zeros(0, dtype=np.int32)
         mul_i = mul_j = mul_k = np.zeros(0, dtype=np.int32)
 
-    # --- LK layout (see BAStructure docstring) -----------------------------
-    seg_len = np.diff(col_ptr)
-    maxK = int(seg_len.max()) if seg_len.size else 0
-    lk_K = 1 if num_l else 0
-    while lk_K < maxK:
-        lk_K <<= 1
-    lk_pose = np.full(num_l * lk_K, num_p, dtype=np.int32)
-    edge2lk = np.full(e_pi.size, num_l * lk_K, dtype=np.int32)
-    if n_hpl:
-        rank = np.arange(n_hpl, dtype=np.int64) - col_ptr[hpl_col]
-        lk_pose[hpl_col.astype(np.int64) * lk_K + rank] = hpl_row
-        has_slot = edge2hpl < n_hpl
-        slots = edge2hpl[has_slot].astype(np.int64)
-        edge2lk[has_slot] = (
-            hpl_col[slots].astype(np.int64) * lk_K + (slots - col_ptr[hpl_col[slots]])
-        ).astype(np.int32)
-
     return BAStructure(
         num_p=num_p,
         num_l=num_l,
@@ -611,9 +585,6 @@ def _finish_structure(
         mul_i=mul_i,
         mul_j=mul_j,
         mul_k=mul_k,
-        lk_K=lk_K,
-        lk_pose=lk_pose,
-        edge2lk=edge2lk,
         mono_perm=mono_perm,
         stereo_perm=stereo_perm,
         lm_rank=lm_rank,

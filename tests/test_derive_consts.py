@@ -1,13 +1,16 @@
 """Device-side derivation of wire-compressed index tables (mxu.derive_consts).
 
 The "dv" schur-id mode ships ONLY lk; li/lj are rebuilt on device from
-hpl_col via the canonical triplet enumeration (landmark-major, i-major),
-and the rank-order pose gather ids are rebuilt from res_perm — together
-~7 MB less ctor wire at kitti00 scale (docs/PERF_NOTES.md).
+hpl_col via the canonical triplet enumeration (landmark-major, i-major).
+The "dv2" mode ships NOTHING but the tiny ascending hsc block-key table:
+lk is rebuilt on device too (searchsorted of the pair key against hsc_key,
+then a per-chunk rank via the v2 window keys gkey_up2) — together ~7 MB
+less ctor wire at kitti00 scale (docs/PERF_NOTES.md).
 """
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cuba_tpu.io import synthetic
 from cuba_tpu.solver import mxu
@@ -35,41 +38,65 @@ def _derived(s, pad_blocks=256):
     assert plans.ok
     sch = plans.schur
     sc_dv = None
-    if plans.sc_pack == "dv":
+    if plans.sc_pack in ("dv", "dv2"):
         sc_dv = (s.n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri,
                  sch.num_chunks)
+        if plans.sc_pack == "dv2":
+            sc_dv += (sch.kwin, plans.maxw)
     mc = type(consts)(**{k: jnp.asarray(v) for k, v in consts._asdict().items()})
     out = mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok,
                             plans.sc_pack, sc_dv)
     return plans, consts, out
 
 
-def test_dv_mode_chosen_and_exact():
+def _assert_schur_ids_exact(plans, out, check_lk):
+    np.testing.assert_array_equal(np.asarray(out.sc_li),
+                                  np.asarray(plans.schur.li, np.int32))
+    np.testing.assert_array_equal(np.asarray(out.sc_lj),
+                                  np.asarray(plans.schur.lj, np.int32))
+    if check_lk:
+        np.testing.assert_array_equal(np.asarray(out.sc_lk),
+                                      np.asarray(plans.schur.lk, np.int32))
+
+
+def test_dv2_mode_chosen_and_exact():
     s = _structure()
     plans, consts, out = _derived(s)
-    assert plans.sc_pack == "dv"  # canonical generation order holds
-    assert consts.sc_lij.size == 1  # nothing but lk on the wire
-    np.testing.assert_array_equal(np.asarray(out.sc_li),
-                                  np.asarray(plans.schur.li, np.int32))
-    np.testing.assert_array_equal(np.asarray(out.sc_lj),
-                                  np.asarray(plans.schur.lj, np.int32))
+    # canonical generation order + v2 window geometry hold at this scale
+    assert plans.sc_pack == "dv2"
+    assert consts.sc_lij.size == 1  # no li/lj stream on the wire
+    assert consts.sc_lk.size == 1  # no lk stream on the wire either
+    assert consts.hsc_key.size == plans.schur.n_hsc_pad
+    _assert_schur_ids_exact(plans, out, check_lk=True)
 
 
-def test_dv_mode_with_loop_closures():
+def test_dv2_mode_with_loop_closures():
     s = _structure(loop=True, seed=2)
     plans, consts, out = _derived(s)
-    assert plans.sc_pack == "dv"
-    np.testing.assert_array_equal(np.asarray(out.sc_li),
-                                  np.asarray(plans.schur.li, np.int32))
-    np.testing.assert_array_equal(np.asarray(out.sc_lj),
-                                  np.asarray(plans.schur.lj, np.int32))
+    assert plans.sc_pack == "dv2"
+    _assert_schur_ids_exact(plans, out, check_lk=True)
+
+
+def test_dv_mode_when_hsc_withheld():
+    """Without the hsc table (non-v2 formation), the packer falls back to
+    "dv": lk rides the wire, li/lj are still derived; the derivation stays
+    exact."""
+    s = _structure(num_p=120, num_l=2500, seed=3)
+    sc = mxu.plan_schur_for(s)
+    mode, ids = mxu.pack_schur_ids(sc, col=np.asarray(s.hpl_col), hsc=None)
+    assert mode == "dv"
+    assert ids["sc_lk"].size > 1
+    # the packed lk stream must equal the plan's
+    np.testing.assert_array_equal(
+        np.asarray(ids["sc_lk"], np.int32), np.asarray(sc.lk, np.int32)
+    )
 
 
 def test_gidr_derivation_matches_host():
     s = _structure()
     plans, consts, out = _derived(s)
     if consts.res_perm.size <= 1:
-        return  # rank-gather plan absent at this scale
+        pytest.skip("rank-gather plan absent at this scale")
     prank = mxu.pose_ranks(s)
     for name, pidx, epad in (
         ("pose_gidr_m", s.mono.pose_idx, plans.e_pad_m),
@@ -97,3 +124,13 @@ def test_canonicity_check_rejects_reordered_streams():
 
     sc2 = dataclasses.replace(sc, li=li, lj=lj)
     assert mxu._canonical_schur_ntri(sc2, col) == -1
+
+
+def test_derive_consts_rejects_unknown_mode():
+    s = _structure(num_p=60, num_l=800)
+    plans, consts = mxu.plan_mxu(s, 128, need_dense=True)
+    mc = type(consts)(**{k: jnp.asarray(v) for k, v in consts._asdict().items()})
+    with pytest.raises(ValueError, match="unknown sc_pack"):
+        mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok, "bogus", None)
+    with pytest.raises(ValueError, match="requires sc_dv"):
+        mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok, "dv", None)

@@ -211,9 +211,6 @@ class TestNativeParity:
         a = np.stack([n.mul_k, n.mul_i, n.mul_j])
         b = np.stack([s.mul_k, s.mul_i, s.mul_j])
         assert np.array_equal(a[:, np.lexsort(a[::-1])], b[:, np.lexsort(b[::-1])])
-        assert n.lk_K == s.lk_K
-        assert np.array_equal(n.lk_pose, s.lk_pose)
-        assert np.array_equal(n.edge2lk, s.edge2lk)
         assert np.array_equal(n.mono_perm, s.mono_perm)
         assert np.array_equal(n.lm_rank, s.lm_rank)
 
@@ -223,7 +220,6 @@ class TestNativeParity:
             e_li = np.zeros(E, np.int32)
             n, s = self._both(e_pi, e_li, num_p, num_l)
             assert n.hpl_row.size == s.hpl_row.size == 0
-            assert n.lk_K == s.lk_K
 
 
 def test_canonical_ntri_native_matches_numpy():
