@@ -581,7 +581,7 @@ class MultiChipEngine:
                 return (it < niterations) & ~done
 
             def outer_body(carry):
-                it, qs0, ts0, Xw0, lam, nu, chis, done = carry
+                it, qs0, ts0, Xw0, lam, nu, natt, chis, done = carry
 
                 F_chi, Hpp, bp, Hll, bl, Hpl = build(qs0, ts0, Xw0)
                 F = F_chi.astype(dt)
@@ -635,17 +635,17 @@ class MultiChipEngine:
                 )
                 chis = chis.at[it].set(F.astype(self.chi_dtype))
                 done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
-                return (it + 1, qs1, ts1, Xw1, lam, nu, chis, done)
+                return (it + 1, qs1, ts1, Xw1, lam, nu, natt + q, chis, done)
 
             init = (
                 jnp.int32(0), qs, ts, Xws_l,
-                dt.type(0.0), dt.type(2.0),
+                dt.type(0.0), dt.type(2.0), jnp.int32(0),
                 jnp.zeros((niterations,), self.chi_dtype), jnp.bool_(False),
             )
-            it, qs_f, ts_f, Xw_f, lam, nu, chis, done = jax.lax.while_loop(
+            it, qs_f, ts_f, Xw_f, lam, nu, natt, chis, done = jax.lax.while_loop(
                 outer_cond, outer_body, init
             )
-            return qs_f, ts_f, Xw_f[None], chis, it
+            return qs_f, ts_f, Xw_f[None], chis, it, lam, natt
 
         sharded = P(AXIS)
         rep = P()
@@ -655,7 +655,7 @@ class MultiChipEngine:
             EdgeConsts(sharded, sharded, sharded, sharded, sharded),
             sharded, sharded, sharded, sharded, sharded, sharded, rep, rep,
         )
-        out_specs = (rep, rep, sharded, rep, rep)
+        out_specs = (rep, rep, sharded, rep, rep, rep, rep)
 
         def run(qs, ts, Xws_s, c: ShardedConsts):
             return shard_map(
@@ -774,7 +774,7 @@ class MultiChipEngine:
                 return (it < niterations) & ~done
 
             def outer_body(carry):
-                it, qs0, ts0, Xw0, lam, nu, chis, done = carry
+                it, qs0, ts0, Xw0, lam, nu, natt, chis, done = carry
                 F_chi, HppT, HllT, HplT = build(qs0, ts0, Xw0)
                 F = F_chi.astype(dt)
                 bp = HppT[36:42].T  # [P, 6]
@@ -821,17 +821,17 @@ class MultiChipEngine:
                 )
                 chis = chis.at[it].set(F.astype(self.chi_dtype))
                 done = (q == maxq) | (rho <= 0) | ~jnp.isfinite(lam)
-                return (it + 1, qs1, ts1, Xw1, lam, nu, chis, done)
+                return (it + 1, qs1, ts1, Xw1, lam, nu, natt + q, chis, done)
 
             init = (
                 jnp.int32(0), qs, ts, Xws_l,
-                dt.type(0.0), dt.type(2.0),
+                dt.type(0.0), dt.type(2.0), jnp.int32(0),
                 jnp.zeros((niterations,), self.chi_dtype), jnp.bool_(False),
             )
-            it, qs_f, ts_f, Xw_f, lam, nu, chis, done = jax.lax.while_loop(
+            it, qs_f, ts_f, Xw_f, lam, nu, natt, chis, done = jax.lax.while_loop(
                 outer_cond, outer_body, init
             )
-            return qs_f, ts_f, Xw_f[None], chis, it
+            return qs_f, ts_f, Xw_f[None], chis, it, lam, natt
 
         sharded = P(AXIS)
         rep = P()
@@ -841,7 +841,7 @@ class MultiChipEngine:
                 shard_body,
                 mesh=self.mesh,
                 in_specs=(rep, rep, sharded, rep, sharded),
-                out_specs=(rep, rep, sharded, rep, rep),
+                out_specs=(rep, rep, sharded, rep, rep, rep, rep),
                 check_vma=False,
             )(qs, ts, Xws_s, cams, mc)
 
@@ -954,6 +954,7 @@ class MultiChipEngine:
         qs, ts, Xws = p.qs, p.ts, p.Xws
         chis = []
         lam, nu, F = 0.0, 2.0, 0.0
+        natt = 0
         for it in range(niterations):
             t0 = time.perf_counter()
             F_dev, Hpp, bp, Hll, bl, Hpl, maxd = jax.block_until_ready(
@@ -993,13 +994,17 @@ class MultiChipEngine:
                 lam *= nu
                 nu *= 2.0
                 q += 1
+            natt += q if rho <= 0 else q + 1
             chis.append(F)
             if q == cfg.max_inner_iterations or rho <= 0 or not np.isfinite(lam):
                 break
         p.qs, p.ts, p.Xws = qs, ts, Xws
-        return np.asarray(chis), prof
+        return np.asarray(chis), prof, lam, natt
 
     def optimize(self, niterations: int):
+        """Fused sharded LM.  Returns (chis, qs, ts, Xws_s, final_lambda,
+        nattempts) — the diagnostics feed the public time_profile()
+        attribution exactly like the single-chip LMResult's."""
         use_mxu = self.mxu_sp is not None
         key = ("mlm_mxu" if use_mxu else "mlm", niterations)
         if key not in self._jit_cache:
@@ -1008,15 +1013,15 @@ class MultiChipEngine:
             self._jit_cache[key] = jax.jit(fn)
         p = self.problem
         if use_mxu:
-            qs, ts, Xws_s, chis, it = self._jit_cache[key](
+            qs, ts, Xws_s, chis, it, lam, natt = self._jit_cache[key](
                 p.qs, p.ts, p.Xws, p.consts.cams, self._mxu_device_consts()
             )
         else:
-            qs, ts, Xws_s, chis, it = self._jit_cache[key](
+            qs, ts, Xws_s, chis, it, lam, natt = self._jit_cache[key](
                 p.qs, p.ts, p.Xws, p.consts
             )
         p.qs, p.ts, p.Xws = qs, ts, Xws_s
-        return np.asarray(chis)[: int(it)], qs, ts, Xws_s
+        return np.asarray(chis)[: int(it)], qs, ts, Xws_s, lam, natt
 
     def gathered_landmarks(self) -> np.ndarray:
         """[num_l, 3] active landmark estimates in global order."""
@@ -1058,14 +1063,15 @@ class MultiChipSolverAdapter:
         ``optimize()`` on the single-chip engine."""
         from cuba_tpu.solver.engine import LMResult
 
-        chis, qs, ts, _ = self._mc.optimize(niterations)
+        chis, qs, ts, _, lam, natt = self._mc.optimize(niterations)
         chis_full = np.zeros(niterations, np.float64)
         chis_full[: chis.size] = chis
         return LMResult(
             state=self._global_state(),
             chis=jnp.asarray(chis_full),
             niters=jnp.int32(chis.size),
-            final_lambda=jnp.asarray(0.0, self.dtype),
+            final_lambda=lam,
+            nattempts=natt,
         )
 
     def optimize_profiled(self, state, niterations: int):
@@ -1075,7 +1081,7 @@ class MultiChipSolverAdapter:
         reference: cuda_bundle_adjustment.cpp:77-88, :793-857)."""
         from cuba_tpu.solver.engine import LMResult
 
-        chis, prof = self._mc.optimize_profiled(niterations)
+        chis, prof, lam, natt = self._mc.optimize_profiled(niterations)
         chis_full = np.zeros(niterations, np.float64)
         chis_full[: chis.size] = chis
         return (
@@ -1083,7 +1089,8 @@ class MultiChipSolverAdapter:
                 state=self._global_state(),
                 chis=jnp.asarray(chis_full),
                 niters=jnp.int32(chis.size),
-                final_lambda=jnp.asarray(0.0, self.dtype),
+                final_lambda=jnp.asarray(lam, self.dtype),
+                nattempts=jnp.int32(natt),
             ),
             prof,
         )
@@ -1127,3 +1134,63 @@ class MultiChipSolverAdapter:
         else:
             res[nm:] = internal[nm:]
         return res
+
+    # ------------------------------------------------------------------
+    # fused-run phase attribution (the public time_profile() path —
+    # graph.py calls attribute_phases after fused optimize(); the
+    # single-chip twin is BlockSolverEngine.attribute_phases)
+    # ------------------------------------------------------------------
+
+    def phase_calibration(self):
+        """One timed call per sharded stage (build / solve / update / chi)
+        on the XLA stage pipeline — the per-phase cost ratios used to
+        split a fused mesh run's wall time.  Cached per adapter.  When the
+        fused run used the MXU body, the XLA-stage ratios are still the
+        attribution basis (marked as estimates via
+        BundleAdjustment.attributed_phases, like the single-chip fused
+        path)."""
+        if getattr(self, "_phase_cal", None) is not None:
+            return self._phase_cal
+        import time as _time
+
+        mc = self._mc
+        p = mc.problem
+        c = p.consts
+        cargs = (c.cams, c.mono, c.stereo, c.hpl_row, c.hpl_col,
+                 c.mul_i, c.mul_j, c.mul_k, c.lm_count, c.hsc_row, c.hsc_col)
+        st = mc._stage_jits()
+        qs, ts, Xws = p.qs, p.ts, p.Xws
+
+        def timed(fn, *a):
+            jax.block_until_ready(fn(*a))  # compile outside the timing
+            t0 = _time.perf_counter()
+            out = jax.block_until_ready(fn(*a))
+            return _time.perf_counter() - t0, out
+
+        tb, (_F, Hpp, bp, Hll, bl, Hpl, maxd) = timed(st["build"], qs, ts, Xws, *cargs)
+        lam = self.dtype.type(self.config.tau * float(maxd))
+        tsv, (xp, xl, _ok) = timed(st["solve"], Hpp, bp, Hll, bl, Hpl, lam, *cargs)
+        tu, (qs1, ts1, Xws1) = timed(st["update"], qs, ts, Xws, xp, xl)
+        tc, _ = timed(st["chi"], qs1, ts1, Xws1, *cargs)
+        self._phase_cal = dict(build=tb, solve=tsv, update=tu, chi=tc)
+        return self._phase_cal
+
+    def attribute_phases(self, total_s: float, niters: int, nattempts: int):
+        """Distribute a fused mesh run's wall seconds across the reference
+        phases by the calibrated stage ratios — same mapping as the
+        host-stepped multi-chip profile (build per outer iteration; solve,
+        update and trial-chi per damped attempt; '4: Schur Complement'
+        folded into 6 and '5: Symbolic Decomposition' zero, matching
+        optimize_profiled)."""
+        c = self.phase_calibration()
+        n = max(int(niters), 1)
+        a = max(int(nattempts), n)
+        raw = {
+            "2: Compute Error": a * c["chi"],
+            "3: Build System": n * c["build"],
+            "6: Numerical Decomposition": a * c["solve"],
+            "7: Update Solution": a * c["update"],
+        }
+        s = sum(raw.values())
+        scale = total_s / s if s > 0 else 0.0
+        return {k: v * scale for k, v in raw.items()}

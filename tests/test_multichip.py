@@ -28,7 +28,7 @@ def test_multichip_matches_single_chip(ndev):
     ba2.initialize()
     mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
     eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, BAConfig(), mesh)
-    chis_multi, qs, ts, _ = eng.optimize(5)
+    chis_multi, qs, ts, _, lam, natt = eng.optimize(5)
 
     n = min(len(chis_single), len(chis_multi))
     assert n >= 3
@@ -75,6 +75,30 @@ def test_public_api_mesh_config():
     assert np.isfinite(ba2.chi_squared(e))
 
 
+def test_multichip_fused_time_profile():
+    """A fused mesh optimize must fill the public TimeProfile: the fused
+    while_loop now returns real nattempts/final_lambda and the adapter's
+    attribute_phases splits the measured wall time by calibrated stage
+    ratios (single-chip twin: BlockSolverEngine.attribute_phases;
+    reference: cuda_bundle_adjustment.cpp:545-562)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    prob = synthetic.generate(num_poses=8, num_landmarks=64, seed=13)
+    mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+    ba = synthetic.build_graph(prob, config=BAConfig(mesh=mesh))
+    ba.initialize()
+    ba.optimize(4)
+    tp = ba.time_profile()
+    assert ba.attributed_phases(), "fused mesh run produced no attributed phases"
+    for k in ("2: Compute Error", "3: Build System",
+              "6: Numerical Decomposition", "7: Update Solution"):
+        assert tp[k] > 0.0, (k, dict(tp))
+    # attribution preserves the measured total
+    attributed = sum(tp[k] for k in ba.attributed_phases())
+    total = tp["optimize (fused device loop)"]
+    assert abs(attributed - total) < 1e-9 * max(total, 1.0)
+
+
 def test_multichip_with_fixed_landmarks():
     prob = synthetic.generate(num_poses=6, num_landmarks=48, seed=17)
     ba = synthetic.build_graph(prob)
@@ -90,7 +114,7 @@ def test_multichip_with_fixed_landmarks():
     ba2.initialize()
     mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
     eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, BAConfig(), mesh)
-    chis_multi, _, _, _ = eng.optimize(4)
+    chis_multi, _, _, _, _, _ = eng.optimize(4)
     n = min(len(chis_single), len(chis_multi))
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))

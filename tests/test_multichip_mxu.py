@@ -72,7 +72,7 @@ def test_multichip_mxu_matches_single_chip(solver):
     cfg = BAConfig(dtype=jnp.float32, mxu="interpret", solver=solver)
     eng = MultiChipEngine(ba2._engine.structure, ba2._kernels, cfg, mesh)
     assert eng.mxu_sp is not None, "MXU shard plan rejected a clean problem"
-    chis_multi, qs, ts, _ = eng.optimize(4)
+    chis_multi, qs, ts, _, lam, natt = eng.optimize(4)
 
     n = min(len(chis_single), len(chis_multi))
     assert n >= 3
