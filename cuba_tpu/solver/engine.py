@@ -17,6 +17,8 @@ src/cuda_bundle_adjustment.cpp:73-673, :793-857), re-architected for XLA:
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from typing import Dict, NamedTuple, Tuple
 
@@ -518,6 +520,12 @@ class BlockSolverEngine:
                 for name, (a, pv) in mxu.early_int_arrays(s, gm, gs, sc_early).items()
             ]
             eblob, emeta = _pack_group([(n, a) for n, a, _pv in eitems])
+            if os.environ.get("CUBA_TPU_DEBUG_UPLOAD"):
+                # per-array wire breakdown (name, pack mode, packed MB),
+                # largest first — the tool for attacking the ctor wire floor
+                print(f"# early blob: {eblob.nbytes/1e6:.2f} MB", file=sys.stderr)
+                for k, m, _o, p, _n in sorted(emeta[0], key=lambda t: -t[3]):
+                    print(f"#   early {k} mode={m} {p*4/1e6:.2f} MB", file=sys.stderr)
             early = (jax.device_put(eblob), emeta)
             early_avail = {n: (a.shape, pv) for n, a, _pv2 in eitems for pv in [_pv2]}
 

@@ -35,8 +35,8 @@ c1 = np.asarray(r.chis)[:n1]
 t0b=time.perf_counter(); r = eng1.optimize(eng1.state if False else None, 5); _=int(r.niters); t1b=time.perf_counter()
 mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
 eng8 = MultiChipEngine(s, kernels, cfg, mesh)
-t2=time.perf_counter(); c8, qs, ts, _ = eng8.optimize(5); t3=time.perf_counter()
-t4=time.perf_counter(); c8b, qs, ts, _ = MultiChipEngine(s, kernels, cfg, mesh).optimize(5); t5=time.perf_counter()
+t2=time.perf_counter(); c8, qs, ts, _, _, _ = eng8.optimize(5); t3=time.perf_counter()
+t4=time.perf_counter(); c8b, qs, ts, _, _, _ = MultiChipEngine(s, kernels, cfg, mesh).optimize(5); t5=time.perf_counter()
 n = min(c1.size, len(c8))
 rel = np.abs(c1[:n]-np.asarray(c8[:n]))/np.abs(c1[:n])
 print(f"E={E} n_hsc={s.n_hsc}")
