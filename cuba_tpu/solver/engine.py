@@ -586,7 +586,7 @@ class BlockSolverEngine:
                 "measT_m", "measT_s", "omegaT_m", "omegaT_s",
                 "e2h_m", "e2h_s", "hpl_row", "hpl_col",
                 "pose_gid_m", "pose_gid_s",
-                "sc_lij", "sc_lk", "hsc_key",
+                "sc_lij", "sc_lk", "hsc_key", "sc_gid",
             ):
                 r = eref(name, getattr(mxu_consts, name))
                 if r is not None:
@@ -626,20 +626,15 @@ class BlockSolverEngine:
             # jitted dispatch as the unpack (mxu.derive_consts docstring)
             np_, nl_, rows_ = self.num_p, self.num_l, self.use_rows
             scp_ = self.mxu_plans.sc_pack
-            sc_dv = None
-            if scp_ in ("dv", "dv2") and self.mxu_plans.schur is not None:
-                sch = self.mxu_plans.schur
-                sc_dv = (s.n_hpl, sch.chunk, sch.slot_block,
-                         self.mxu_plans.sc_ntri, sch.num_chunks)
-                if scp_ == "dv2":
-                    sc_dv += (sch.kwin, self.mxu_plans.maxw)
+            gdv_ = self.mxu_plans.gid_dv
+            sc_dv = mxu.derive_statics(self.mxu_plans, s.n_hpl)
             transform = lambda t: (
                 t[0], t[1]._replace(
                     mxu=mxu.derive_consts(t[1].mxu, np_, nl_, rows_, scp_,
-                                          sc_dv)
+                                          sc_dv, gdv_)
                 )
             )
-            tkey = ("derive", np_, nl_, rows_, scp_, sc_dv)
+            tkey = ("derive", np_, nl_, rows_, scp_, sc_dv, gdv_)
         else:
             transform, tkey = None, None
         # deferred upload: keep the packed blobs + a pure unpack fn; the

@@ -90,6 +90,10 @@ class MXUPlans:
     # band or the loop-column set exceeds the Woodbury gate)
     lr_k: int = 0
     lr_nob: int = 0
+    # gid_dv wire mode: pose_gid/lm_gid derived on device from e2h +
+    # hpl_row/hpl_col (exception triples for slotless edges) instead of
+    # shipping ~1.7 MB of per-edge id tables (kitti00 scale)
+    gid_dv: bool = False
 
 
 class MXUConsts(NamedTuple):
@@ -174,6 +178,23 @@ class MXUConsts(NamedTuple):
     # this + hpl_col/hpl_row/gkey_up2, replacing the ~7 MB lk stream at
     # kitti00 scale (dummy outside dv2)
     hsc_key: jnp.ndarray = np.zeros(1, np.int32)
+    # "dv2" v2-formation wire: the compact per-chunk window block list
+    # ([C*kwin], -1 tails; values < n_hsc so it int16-narrows + delta-packs).
+    # derive_consts rebuilds gkey_up2/gkey_cl2/iru/icu/ipc/irc from this +
+    # hsc_key — replacing ~3 MB of shipped rank-key tables at kitti00-loop
+    # scale (dummy outside dv2)
+    sc_gid: jnp.ndarray = np.zeros(1, np.int32)
+    # gid_dv wire mode: pose_gid/lm_gid ride DERIVED from e2h via
+    # hpl_row/hpl_col gathers; only the edges without an Hpl slot (a fixed
+    # endpoint) ship as (index, pose, lm) exception triples (dummies when
+    # plans.gid_dv is False; exc_i_* = [e_pad] when the list is empty so the
+    # scatter drops it)
+    exc_i_m: jnp.ndarray = np.zeros(1, np.int32)
+    exc_p_m: jnp.ndarray = np.zeros(1, np.int32)
+    exc_l_m: jnp.ndarray = np.zeros(1, np.int32)
+    exc_i_s: jnp.ndarray = np.zeros(1, np.int32)
+    exc_p_s: jnp.ndarray = np.zeros(1, np.int32)
+    exc_l_s: jnp.ndarray = np.zeros(1, np.int32)
 
 
 @dataclasses.dataclass
@@ -228,7 +249,7 @@ def static_sig(p: Optional[MXUPlans]):
         p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
         aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
         p.p_res_pad, aw(p.rg_m), aw(p.rg_s), p.sc_pack, p.sc_ntri,
-        p.lr_k, p.lr_nob,
+        p.lr_k, p.lr_nob, p.gid_dv,
     )
 
 
@@ -356,6 +377,21 @@ def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
 
 
 _HSC_KEY_PAD = np.int32(2**31 - 1)  # hsc_key tail pad: above every real key
+
+
+def _gid_exceptions(e2h, ids_p, ids_l, e_pad):
+    """Real edges without an Hpl slot (a fixed endpoint): the gid_dv wire
+    mode ships these as (index, pose, lm) exception triples and derives
+    every other edge's ids from e2h on device (derive_consts).  An empty
+    list ships as a single out-of-bounds index so the device scatter drops
+    it.  Returns (exc_i, exc_p, exc_l, count)."""
+    n = len(ids_p)
+    exc = np.flatnonzero(np.asarray(e2h[:n]) < 0)
+    if exc.size == 0:
+        return (np.array([e_pad], np.int32), np.array([-1], np.int32),
+                np.array([-1], np.int32), 0)
+    return (exc.astype(np.int32), np.asarray(ids_p, np.int32)[exc],
+            np.asarray(ids_l, np.int32)[exc], int(exc.size))
 
 
 def _maxw_of(hsc_row, hsc_col) -> Tuple[int, int]:
@@ -505,9 +541,18 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
         "e2h_s": pad_ids(s.edge2hpl[Em:], e_pad_s, s.edge2hpl[Em:] < n_hpl),
         "hpl_row": pad_ids(s.hpl_row, hpl_pad),
         "hpl_col": pad_ids(s.hpl_col, hpl_pad),
-        "pose_gid_m": pad_ids(s.mono.pose_idx, e_pad_m),
-        "pose_gid_s": pad_ids(s.stereo.pose_idx, e_pad_s),
     }
+    # predict plan_mxu's gid_dv gate (same exception count off the same
+    # e2h tables): when it will hold, pose_gid never rides the wire at all
+    # (derive_consts rebuilds it from e2h); a rows_ok failure downstream
+    # just means the dummy ships in the main blob instead — no correctness
+    # dependence on the prediction
+    n_exc = int(np.count_nonzero(out["e2h_m"][:Em] < 0)) + int(
+        np.count_nonzero(out["e2h_s"][:Es] < 0)
+    )
+    if n_exc * 8 > Em + Es:
+        out["pose_gid_m"] = pad_ids(s.mono.pose_idx, e_pad_m)
+        out["pose_gid_s"] = pad_ids(s.stereo.pose_idx, e_pad_s)
     if sc is not None:
         # predict plan_mxu's packing decision: pass hsc when the v2 window
         # geometry will hold (pack_schur_ids gates on maxw/maxwc itself; a
@@ -523,6 +568,9 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
             out["sc_lk"] = (ids["sc_lk"], 0)
         if "hsc_key" in ids:
             out["hsc_key"] = (ids["hsc_key"], int(_HSC_KEY_PAD))
+            # dv2 predicted -> the v2 formation tables will be derived from
+            # (hsc_key, sc_gid): ship the compact window list early too
+            out["sc_gid"] = (np.asarray(sc.gid, np.int32).reshape(-1), -1)
     return {
         k: (v if isinstance(v, tuple) else (v, -1)) for k, v in out.items()
     }
@@ -817,6 +865,31 @@ def plan_mxu(
         return plans, None
 
     dummy = np.zeros(1, i32)
+    # schur-id wire packing decision FIRST: the v2-formation and rows wire
+    # modes below condition on it ("dv2" puts hsc_key on device, which the
+    # gkey/iru derivations need)
+    if wire_pack:
+        # "dv2" needs gkey_up2 on device for the lk derivation — only offer
+        # the hsc table when the v2 formation actually planned
+        plans.sc_pack, _scids = pack_schur_ids(
+            sc, col=None if sc is None else np.asarray(s.hpl_col),
+            hsc=(s.hsc_row, s.hsc_col, num_p) if v2 else None,
+        )
+        plans.sc_ntri = int(_scids.get("sc_ntri", 0))
+        sc_lij = _scids["sc_lij"]
+        sc_li = _scids["sc_li"]
+        sc_lj = _scids["sc_lj"]
+        sc_lk_c = _scids["sc_lk"]
+        hsc_key_c = _scids.get("hsc_key", dummy)
+    else:
+        # expanded local-id streams: nothing to unpack on device
+        plans.sc_pack, plans.sc_ntri = "none", 0
+        sc_lij = dummy
+        sc_li = np.asarray(sc.li, i32) if sc is not None else dummy
+        sc_lj = np.asarray(sc.lj, i32) if sc is not None else dummy
+        sc_lk_c = np.asarray(sc.lk, i32) if sc is not None else dummy
+        hsc_key_c = dummy
+    dv2 = plans.sc_pack == "dv2"
     if rows_ok:
         fl = rows_float_arrays(s, e_pad_m, e_pad_s)
         measT_m, measT_s = fl["measT_m"], fl["measT_s"]
@@ -842,25 +915,59 @@ def plan_mxu(
             )
         gid_dt = np.int16 if wire_pack else i32
         rows_consts = dict(
-            pose_gid_m=pose_gid_m.astype(gid_dt),  # rows gate: num_p <= 4096
-            pose_gid_s=pose_gid_s.astype(gid_dt),
-            lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
             **rg_consts,
             bb_xwg_m=np.asarray(xwg_m.base_block, i32),
             bb_xwg_s=np.asarray(xwg_s.base_block, i32),
             measT_m=measT_m, measT_s=measT_s,
             omegaT_m=omegaT_m, omegaT_s=omegaT_s,
         )
+        exc_m = _gid_exceptions(e2h_m, s.mono.pose_idx, s.mono.lm_idx, e_pad_m)
+        exc_s = _gid_exceptions(e2h_s, s.stereo.pose_idx, s.stereo.lm_idx,
+                                e_pad_s)
+        plans.gid_dv = bool(
+            wire_pack and (exc_m[3] + exc_s[3]) * 8 <= Em + Es
+        )
+        if plans.gid_dv:
+            # pose_gid/lm_gid never ride the wire: derive_consts rebuilds
+            # them from e2h via hpl_row/hpl_col gathers; only the slotless
+            # (fixed-endpoint) edges ship as exception triples (~KB vs the
+            # ~1.7 MB gid tables at kitti00 scale)
+            rows_consts.update(
+                exc_i_m=exc_m[0], exc_p_m=exc_m[1], exc_l_m=exc_m[2],
+                exc_i_s=exc_s[0], exc_p_s=exc_s[1], exc_l_s=exc_s[2],
+            )
+        else:
+            rows_consts.update(
+                pose_gid_m=pose_gid_m.astype(gid_dt),  # rows gate: num_p <= 4096
+                pose_gid_s=pose_gid_s.astype(gid_dt),
+                lm_gid_m=lm_gid_m, lm_gid_s=lm_gid_s,
+            )
     else:
         rows_consts = {}
     if v2:
         v2_consts = dict(
-            gkey_up2=gkey_up2, gkey_cl2=gkey_cl2,
             bb_up2=np.asarray(up2.base_block, i32),
             bb_cl2=np.asarray(cl2.base_block, i32),
-            iru=iru, icu=icu, ipc=ipc, irc=irc, occ2=occ2,
+            occ2=occ2,
             band_occ=occ_band,
         )
+        if dv2:
+            # gkey_up2/gkey_cl2/iru/icu/ipc/irc are all functions of
+            # (hsc_key, gid): derive_consts rebuilds them on device.  Only
+            # the compact window block list rides the wire (int16 +
+            # delta-packed: ~0.6 MB vs the ~3 MB of shipped rank-key
+            # tables at kitti00-loop scale, docs/PERF_NOTES.md)
+            g = np.asarray(sc.gid, np.int64).reshape(-1)
+            v2_consts["sc_gid"] = (
+                g.astype(np.int16)
+                if g.size and g.max() <= 32767 and g.min() >= -32768
+                else g.astype(i32)
+            )
+        else:
+            v2_consts.update(
+                gkey_up2=gkey_up2, gkey_cl2=gkey_cl2,
+                iru=iru, icu=icu, ipc=ipc, irc=irc,
+            )
         # fallback-path constants become dummies (not uploaded at size)
         gkey_up = gkey_lo = dummy
         bb_up = bb_lo = occ_c = dummy
@@ -890,31 +997,6 @@ def plan_mxu(
     # rows front end uploads the ungated gids anyway (engine.derive_consts
     # expands both on device).
     sc_sb_c = np.asarray(sc.sb, i32) if sc is not None else dummy
-    # "dv": only lk rides the wire, li/lj derived on device (canonical
-    # enumeration); else 3-way li|lj|lk pack when compact kwin keeps
-    # lk < 254, else 2-way li|lj with lk riding int16 (pack_schur_ids —
-    # shared with the early-upload path: identical decision per plan)
-    if wire_pack:
-        # "dv2" needs gkey_up2 on device for the lk derivation — only offer
-        # the hsc table when the v2 formation actually planned
-        plans.sc_pack, _scids = pack_schur_ids(
-            sc, col=None if sc is None else np.asarray(s.hpl_col),
-            hsc=(s.hsc_row, s.hsc_col, num_p) if v2 else None,
-        )
-        plans.sc_ntri = int(_scids.get("sc_ntri", 0))
-        sc_lij = _scids["sc_lij"]
-        sc_li = _scids["sc_li"]
-        sc_lj = _scids["sc_lj"]
-        sc_lk_c = _scids["sc_lk"]
-        hsc_key_c = _scids.get("hsc_key", dummy)
-    else:
-        # expanded local-id streams: nothing to unpack on device
-        plans.sc_pack, plans.sc_ntri = "none", 0
-        sc_lij = dummy
-        sc_li = np.asarray(sc.li, i32) if sc is not None else dummy
-        sc_lj = np.asarray(sc.lj, i32) if sc is not None else dummy
-        sc_lk_c = np.asarray(sc.lk, i32) if sc is not None else dummy
-        hsc_key_c = dummy
 
     # NumPy arrays: the engine uploads the whole Consts pytree in ONE
     # device_put (each separate transfer costs ~30ms tunnel latency).
@@ -956,25 +1038,87 @@ def plan_mxu(
     return plans, consts
 
 
+def derive_statics(plans: MXUPlans, n_hpl: int) -> Optional[tuple]:
+    """The hashable statics derive_consts needs for the plan's wire modes —
+    built here so the engine, the tests and any other derive_consts caller
+    make the identical tuple."""
+    if plans.sc_pack not in ("dv", "dv2") or plans.schur is None:
+        return None
+    sch = plans.schur
+    t = (n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri, sch.num_chunks)
+    if plans.sc_pack == "dv2":
+        t += (sch.kwin, plans.maxw, plans.maxwc, plans.pad_blocks,
+              sch.n_hsc_pad)
+    return t
+
+
 def derive_consts(
     mc: MXUConsts, num_p: int, num_l: int, rows_ok: bool, sc_pack: str = "p2",
-    sc_dv: Optional[tuple] = None,
+    sc_dv: Optional[tuple] = None, gid_dv: bool = False,
 ) -> MXUConsts:
     """Expand the wire-compressed constants on device (engine calls this in
     one jitted dispatch right after the packed upload): rebuild sc_li/sc_lj
     from hpl_col ("dv"/"dv2" modes — canonical triplet enumeration, nothing
-    on the wire) and sc_lk from hsc_key + gkey_up2 ("dv2"), or unpack
-    sc_lij; derive the gated acc tables and the rank-order pose gather ids
-    from the gids.
+    on the wire), sc_lk from hsc_key + gkey_up2 ("dv2"), and the v2
+    formation tables gkey_up2/gkey_cl2/iru/icu/ipc/irc from hsc_key +
+    sc_gid ("dv2"), or unpack sc_lij; derive the gated acc tables, the
+    rank-order pose gather ids, and (``gid_dv``) the per-edge pose/lm ids
+    themselves from e2h + the exception triples.
 
     ``sc_dv`` = (n_hpl, chunk, slot_block, n_tri, num_chunks) statics for
-    the "dv" derivation; "dv2" appends (kwin, maxw) (None otherwise).
+    the "dv" derivation; "dv2" appends (kwin, maxw, maxwc, pad_blocks,
+    n_hsc_pad) (None otherwise).
     """
     if sc_pack not in ("none", "p2", "p3", "dv", "dv2"):
         raise ValueError(f"unknown sc_pack mode {sc_pack!r}")
     if sc_pack in ("dv", "dv2") and sc_dv is None:
         raise ValueError(f"sc_pack={sc_pack!r} requires sc_dv statics")
+    if sc_pack == "dv2" and len(sc_dv) < 10:
+        raise ValueError("sc_pack='dv2' requires the 10-tuple sc_dv statics")
     upd = {}
+    i32 = jnp.int32
+    if sc_pack == "dv2":
+        # v2 formation tables: every one is a function of (hsc_key, sc_gid).
+        # Host twin: the v2 block of plan_mxu (rkey/ckey/iru/icu/ipc/irc).
+        _kwin, maxw, maxwc, PB, n_hsc_pad = sc_dv[5:10]
+        hk = mc.hsc_key
+        vb = hk != _HSC_KEY_PAD
+        hr = jnp.where(vb, hk // num_p, 0).astype(i32)
+        hc = jnp.where(vb, hk - hr * num_p, 0).astype(i32)
+        lanes = jnp.arange(n_hsc_pad, dtype=i32)
+        # first block of row r sits at searchsorted(hk, r*num_p); rank
+        # within the row is positional ((row, col)-sorted keys)
+        rowstart = jnp.searchsorted(
+            hk, jnp.arange(num_p, dtype=i32) * num_p
+        ).astype(i32)
+        rkey = jnp.where(vb, hr * maxw + (lanes - rowstart[hr]), -1)
+        # column ranks via one sort by (col, row): the keys are unique so
+        # argsort is a permutation and the scatter writes each lane once
+        ck2 = jnp.where(vb, hc * num_p + hr, _HSC_KEY_PAD)
+        order = jnp.argsort(ck2).astype(i32)
+        hc_s = hc[order]
+        colstart = jnp.searchsorted(
+            ck2[order], jnp.arange(num_p, dtype=i32) * num_p
+        ).astype(i32)
+        ckey_s = jnp.where(
+            vb[order], hc_s * maxwc + (lanes - colstart[hc_s]), -1
+        )
+        ckey = jnp.zeros(n_hsc_pad, i32).at[order].set(ckey_s)
+        gid = mc.sc_gid.astype(i32)
+        gv = gid >= 0
+        g0 = jnp.minimum(jnp.maximum(gid, 0), n_hsc_pad - 1)
+        upd["gkey_up2"] = jnp.where(gv, rkey[g0], -1)
+        upd["gkey_cl2"] = jnp.where(gv, ckey[g0], -1)
+        oob_r = jnp.where(vb, rkey, PB * maxw)
+        oob_c = jnp.where(vb, ckey, PB * maxwc)
+        upd["iru"] = jnp.full(PB * maxw, -1, i32).at[oob_r].set(
+            hr, mode="drop")
+        upd["icu"] = jnp.full(PB * maxw, -1, i32).at[oob_r].set(
+            hc, mode="drop")
+        upd["ipc"] = jnp.full(PB * maxwc, -1, i32).at[oob_c].set(
+            hc, mode="drop")
+        upd["irc"] = jnp.full(PB * maxwc, -1, i32).at[oob_c].set(
+            hr, mode="drop")
     if sc_pack in ("dv", "dv2"):
         # canonical enumeration: for landmark l with slots [a_l, b_l), the
         # triplets are (i, j) for i = a_l..b_l-1, j = i..b_l-1 in order —
@@ -1048,9 +1192,8 @@ def derive_consts(
             goff = jnp.repeat(
                 jnp.arange(C, dtype=jnp.int32) * stride, kwin
             )
-            flat = jnp.where(
-                mc.gkey_up2 >= 0, mc.gkey_up2, stride - 1
-            ) + goff
+            gk_up2 = upd["gkey_up2"]  # derived above from hsc_key + sc_gid
+            flat = jnp.where(gk_up2 >= 0, gk_up2, stride - 1) + goff
             lk = jnp.searchsorted(flat, rk + cidx * stride).astype(
                 jnp.int32
             ) - cidx * kwin
@@ -1065,13 +1208,36 @@ def derive_consts(
             upd["sc_lj"] = (mc.sc_lij & 0xFFFF) - 1
 
     if rows_ok:
+        pgm, pgs = mc.pose_gid_m, mc.pose_gid_s
+        lgm, lgs = mc.lm_gid_m, mc.lm_gid_s
+        if gid_dv:
+            # per-edge pose/lm ids from the slot tables: slotted edges
+            # gather hpl_row/hpl_col at e2h; slotless (fixed-endpoint)
+            # edges come from the exception triples — replaces ~1.7 MB of
+            # shipped id tables at kitti00 scale
+            hrow = mc.hpl_row.astype(i32)
+            hcol = mc.hpl_col.astype(i32)
+
+            def _gids(e2h, exc_i, exc_p, exc_l):
+                e0 = jnp.maximum(e2h, 0)
+                pg = jnp.where(e2h >= 0, hrow[e0], -1)
+                lg = jnp.where(e2h >= 0, hcol[e0], -1)
+                pg = pg.at[exc_i].set(exc_p, mode="drop")
+                lg = lg.at[exc_i].set(exc_l, mode="drop")
+                return pg, lg
+
+            pgm, lgm = _gids(mc.e2h_m, mc.exc_i_m, mc.exc_p_m, mc.exc_l_m)
+            pgs, lgs = _gids(mc.e2h_s, mc.exc_i_s, mc.exc_p_s, mc.exc_l_s)
+            upd["pose_gid_m"], upd["pose_gid_s"] = pgm, pgs
+            upd["lm_gid_m"], upd["lm_gid_s"] = lgm, lgs
+
         def gate(g, n):
             return jnp.where((g >= 0) & (g < n), g, -1)
 
-        upd["pose_acc_m"] = gate(mc.pose_gid_m, num_p)
-        upd["pose_acc_s"] = gate(mc.pose_gid_s, num_p)
-        upd["lm_acc_m"] = gate(mc.lm_gid_m, num_l)
-        upd["lm_acc_s"] = gate(mc.lm_gid_s, num_l)
+        upd["pose_acc_m"] = gate(pgm, num_p)
+        upd["pose_acc_s"] = gate(pgs, num_p)
+        upd["lm_acc_m"] = gate(lgm, num_l)
+        upd["lm_acc_s"] = gate(lgs, num_l)
         if mc.res_perm.size > 1:
             # rank-order pose gather ids: prank = inverse permutation of
             # res_perm, then one [e_pad]-sized gather per edge stream —
@@ -1080,8 +1246,7 @@ def derive_consts(
             prank = jnp.zeros(P + 1, jnp.int32).at[mc.res_perm].set(
                 jnp.arange(P, dtype=jnp.int32)
             )
-            for nm, gid in (("pose_gidr_m", mc.pose_gid_m),
-                            ("pose_gidr_s", mc.pose_gid_s)):
+            for nm, gid in (("pose_gidr_m", pgm), ("pose_gidr_s", pgs)):
                 upd[nm] = jnp.where(gid >= 0, prank[jnp.maximum(gid, 0)], -1)
     return mc._replace(**upd)
 

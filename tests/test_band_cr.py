@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from cuba_tpu.config import BAConfig
 from cuba_tpu.io import synthetic
+
+pytestmark = pytest.mark.slow  # exhaustive sweep: CI slow lane
 from cuba_tpu.ops import robust
 from cuba_tpu.solver import band_cr
 from cuba_tpu.solver.engine import BlockSolverEngine

@@ -17,7 +17,7 @@ from cuba_tpu.solver import mxu
 from cuba_tpu.solver.structure import build_structure_from_arrays
 
 
-def _structure(num_p=220, num_l=6000, seed=0, loop=False):
+def _structure(num_p=220, num_l=6000, seed=0, loop=False, fixed_lms=0):
     prob = synthetic.generate(
         num_poses=num_p, num_landmarks=num_l, mean_obs_per_landmark=5.5,
         stereo_fraction=0.25, seed=seed, loop_closure=loop,
@@ -26,6 +26,8 @@ def _structure(num_p=220, num_l=6000, seed=0, loop=False):
     fixed_p = np.zeros(num_p, bool)
     fixed_p[prob.fixed_poses] = True
     fixed_l = np.zeros(num_l, bool)
+    if fixed_lms:
+        fixed_l[:: num_l // fixed_lms] = True
     return build_structure_from_arrays(
         prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
         prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
@@ -36,16 +38,10 @@ def _structure(num_p=220, num_l=6000, seed=0, loop=False):
 def _derived(s, pad_blocks=256):
     plans, consts = mxu.plan_mxu(s, pad_blocks, need_dense=True)
     assert plans.ok
-    sch = plans.schur
-    sc_dv = None
-    if plans.sc_pack in ("dv", "dv2"):
-        sc_dv = (s.n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri,
-                 sch.num_chunks)
-        if plans.sc_pack == "dv2":
-            sc_dv += (sch.kwin, plans.maxw)
+    sc_dv = mxu.derive_statics(plans, s.n_hpl)
     mc = type(consts)(**{k: jnp.asarray(v) for k, v in consts._asdict().items()})
     out = mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok,
-                            plans.sc_pack, sc_dv)
+                            plans.sc_pack, sc_dv, plans.gid_dv)
     return plans, consts, out
 
 
@@ -134,3 +130,56 @@ def test_derive_consts_rejects_unknown_mode():
         mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok, "bogus", None)
     with pytest.raises(ValueError, match="requires sc_dv"):
         mxu.derive_consts(mc, s.num_p, s.num_l, plans.rows_ok, "dv", None)
+
+
+def _expanded_reference(s, pad_blocks=256):
+    """wire_pack=False ships every table fully expanded — the ground truth
+    for what each derivation must rebuild."""
+    ref_plans, ref = mxu.plan_mxu(s, pad_blocks, need_dense=True,
+                                  wire_pack=False)
+    assert ref_plans.ok
+    return ref
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_v2_formation_tables_derived_exact(loop):
+    """dv2 ships only (hsc_key, sc_gid); gkey_up2/gkey_cl2/iru/icu/ipc/irc
+    must rebuild bit-exactly (vs the expanded wire_pack=False tables)."""
+    s = _structure(loop=loop, seed=2 if loop else 0)
+    plans, consts, out = _derived(s)
+    assert plans.sc_pack == "dv2"
+    assert consts.sc_gid.size > 1  # the compact window list rides the wire
+    for name in ("gkey_up2", "gkey_cl2", "iru", "icu", "ipc", "irc"):
+        assert getattr(consts, name).size == 1, f"{name} shipped"
+    ref = _expanded_reference(s)
+    for name in ("gkey_up2", "gkey_cl2", "iru", "icu", "ipc", "irc"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name), np.int32), err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("fixed_lms", [0, 40])
+def test_edge_gids_derived_exact(fixed_lms):
+    """gid_dv ships only exception triples for slotless (fixed-endpoint)
+    edges; pose_gid/lm_gid and everything downstream (acc gates, gidr)
+    must rebuild exactly."""
+    s = _structure(fixed_lms=fixed_lms)
+    plans, consts, out = _derived(s)
+    if not plans.rows_ok:
+        pytest.skip("rows front end absent at this scale")
+    assert plans.gid_dv
+    assert consts.pose_gid_m.size == 1  # nothing on the wire
+    assert consts.lm_gid_m.size == 1
+    if fixed_lms:
+        assert consts.exc_i_m.size > 1  # fixed landmarks -> real exceptions
+    ref = _expanded_reference(s)
+    for name in ("pose_gid_m", "pose_gid_s", "lm_gid_m", "lm_gid_s",
+                 "pose_acc_m", "pose_acc_s", "lm_acc_m", "lm_acc_s",
+                 "pose_gidr_m", "pose_gidr_s"):
+        r = np.asarray(getattr(ref, name), np.int32)
+        if r.size <= 1:
+            continue  # plan variant without this table
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)), r, err_msg=name,
+        )

@@ -12,6 +12,7 @@ from cuba_tpu.parallel.sharding import AXIS, MultiChipEngine
 
 
 @pytest.mark.parametrize("ndev", [4, 8])
+@pytest.mark.slow  # heavy sweep: CI slow lane
 def test_multichip_matches_single_chip(ndev):
     if len(jax.devices()) < ndev:
         pytest.skip(f"need {ndev} devices")
@@ -75,6 +76,9 @@ def test_public_api_mesh_config():
     assert np.isfinite(ba2.chi_squared(e))
 
 
+@pytest.mark.slow  # heavy sweep: CI slow lane
+
+
 def test_multichip_fused_time_profile():
     """A fused mesh optimize must fill the public TimeProfile: the fused
     while_loop now returns real nattempts/final_lambda and the adapter's
@@ -99,6 +103,9 @@ def test_multichip_fused_time_profile():
     assert abs(attributed - total) < 1e-9 * max(total, 1.0)
 
 
+@pytest.mark.slow  # heavy sweep: CI slow lane
+
+
 def test_multichip_with_fixed_landmarks():
     prob = synthetic.generate(num_poses=6, num_landmarks=48, seed=17)
     ba = synthetic.build_graph(prob)
@@ -118,6 +125,9 @@ def test_multichip_with_fixed_landmarks():
     n = min(len(chis_single), len(chis_multi))
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 1e-6), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_multichip_band_and_dense_parity():
@@ -149,6 +159,9 @@ def test_multichip_band_and_dense_parity():
     assert n >= 3
     rel = np.abs(np.array(chis_b[:n]) - np.array(chis_d[:n])) / np.abs(np.array(chis_d[:n]))
     assert np.all(rel < 1e-5), list(zip(chis_b[:n], chis_d[:n]))
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_multichip_pcg_parity():

@@ -61,6 +61,7 @@ def test_plan_sharded_unifies_statics():
 
 
 @pytest.mark.parametrize("solver", ["dense_cholesky", "pcg"])
+@pytest.mark.slow  # heavy sweep: CI slow lane
 def test_multichip_mxu_matches_single_chip(solver):
     if len(jax.devices()) < 4:
         pytest.skip("need 4 devices")
@@ -81,6 +82,9 @@ def test_multichip_mxu_matches_single_chip(solver):
     np.testing.assert_allclose(
         eng.gathered_landmarks(), Xw_single, atol=5e-3
     )
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_multichip_mxu_band_path():
@@ -108,6 +112,9 @@ def test_multichip_mxu_band_path():
     assert n >= 2
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_multichip_mxu_loop_closure_band_lr():
@@ -141,6 +148,9 @@ def test_multichip_mxu_loop_closure_band_lr():
     assert n >= 2
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
     assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_multichip_profiled_time_profile():

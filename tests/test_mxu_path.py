@@ -36,6 +36,8 @@ class TestMXUPath:
         e_mxu, _ = _engines()
         assert e_mxu.use_mxu, "MXU plans rejected a well-behaved synthetic problem"
 
+    @pytest.mark.slow  # heavy sweep: CI slow lane
+
     def test_build_system_matches(self):
         # each engine runs its own residual pass (the rows front end returns
         # transposed packs, not AoS arrays); chi equality below is the
@@ -60,6 +62,8 @@ class TestMXUPath:
             np.asarray(HplT[:, :nh].T.reshape(nh, 6, 3)), np.asarray(Hpl), rtol=1e-3, atol=2e-3
         )
         assert float(jnp.abs(HplT[:, nh:]).max()) == 0.0
+
+    @pytest.mark.slow  # heavy sweep: CI slow lane
 
     def test_solve_matches(self):
         # strong damping keeps the system well-conditioned so the two fp32
@@ -89,6 +93,8 @@ class TestMXUPath:
         b = e_xla.chi_squares(e_xla.state)
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.slow  # heavy sweep: CI slow lane
 
     def test_lm_trajectory_matches(self):
         e_mxu, e_xla = _engines()
@@ -168,6 +174,8 @@ class TestMXUPCG:
         np.testing.assert_allclose(
             np.asarray(y_rows), np.asarray(y_ref), rtol=2e-2, atol=2e-3 * scale
         )
+
+    @pytest.mark.slow  # heavy sweep: CI slow lane
 
     def test_pcg_lm_trajectory_matches_dense(self):
         e_pcg = self._engine("pcg", pcg_tol=1e-7)

@@ -79,6 +79,9 @@ def test_chi2_parity_with_fixed_landmarks():
     assert np.all(rel < 1e-6), f"chi2 mismatch: {list(zip(chis_tpu[:n], chis_ref[:n]))}"
 
 
+@pytest.mark.slow  # heavy sweep: CI slow lane
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """save_checkpoint/load_checkpoint restore estimates + stats by id."""
     import numpy as np

@@ -15,6 +15,9 @@ from cuba_tpu.io import synthetic
 from cuba_tpu.solver.engine import PROFILE_ITEMS
 
 
+@pytest.mark.slow  # heavy sweep: CI slow lane
+
+
 def test_fused_profile_attribution():
     prob = synthetic.generate(num_poses=8, num_landmarks=60, seed=5)
     ba = synthetic.build_graph(prob)

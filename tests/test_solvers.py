@@ -20,6 +20,9 @@ def make_engine(config, seed=21, poses=10, lms=90):
     return ba
 
 
+@pytest.mark.slow  # heavy sweep: CI slow lane
+
+
 def test_pcg_matches_dense_cholesky():
     ba_d = make_engine(BAConfig(solver="dense_cholesky"))
     ba_p = make_engine(BAConfig(solver="pcg", pcg_tol=1e-12, pcg_max_iterations=500))
@@ -31,6 +34,9 @@ def test_pcg_matches_dense_cholesky():
     assert n >= 4
     rel = np.abs(chis_d[:n] - chis_p[:n]) / np.abs(chis_d[:n])
     assert np.all(rel < 1e-6), list(zip(chis_d[:n], chis_p[:n]))
+
+
+@pytest.mark.slow  # heavy sweep: CI slow lane
 
 
 def test_schur_operator_matches_dense(rng):

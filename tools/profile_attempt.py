@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--solver", default="auto")
+    ap.add_argument("--loop-closures", action="store_true",
+                    help="closed-loop covisibility (the kitti00 headline shape)")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +42,7 @@ def main():
     prob = synthetic.generate(
         num_poses=n_poses, num_landmarks=n_lms,
         mean_obs_per_landmark=mean_obs, stereo_fraction=0.25, seed=0,
+        loop_closure=args.loop_closures,
     )
     cams = np.tile(prob.cam, (n_poses, 1))
     fixed_p = np.zeros(n_poses, bool)

@@ -13,6 +13,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--loop-closures", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -32,6 +33,7 @@ def main():
     prob = synthetic.generate(
         num_poses=n_poses, num_landmarks=n_lms,
         mean_obs_per_landmark=mean_obs, stereo_fraction=0.25, seed=0,
+        loop_closure=args.loop_closures,
     )
     cams = np.tile(prob.cam, (n_poses, 1))
     fixed_p = np.zeros(n_poses, bool)
