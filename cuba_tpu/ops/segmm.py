@@ -911,48 +911,48 @@ def band_transpose(
 
 
 def compact_to_dense(
-    upT: jnp.ndarray,  # [36, PB*maxw] row-rank-major combined Hsc blocks
-    iru: jnp.ndarray,  # [PB*maxw] int32 block row per rank slot (-1 pad)
-    icu: jnp.ndarray,  # [PB*maxw] int32 block col per rank slot (-1 pad)
-    clT: jnp.ndarray,  # [36, PB*maxwc] col-rank-major combined Hsc blocks
-    ipc: jnp.ndarray,  # [PB*maxwc] int32 block col per col-rank slot (-1 pad)
-    irc: jnp.ndarray,  # [PB*maxwc] int32 block row per col-rank slot (-1 pad)
+    gT: jnp.ndarray,  # [36, M*Wg] band-major combined Hsc blocks
+    ghr: jnp.ndarray,  # [M*Wg] int32 block row per band slot (-1 pad)
+    ghc: jnp.ndarray,  # [M*Wg] int32 block col per band slot (-1 pad)
     dbT: jnp.ndarray,  # [36, PB] damped diagonal blocks (identity on padding)
     occ: jnp.ndarray,  # [T_P*T_Q] int32 tile occupancy
     PB: int,
-    maxw: int,
-    maxwc: int,
+    Wg: int,
     *,
     tile_p: int = 64,
     tile_q: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Dense [6PB, 6PB] damped Schur matrix straight from the compact
-    rank-major block tables — fusing what was previously four passes
-    (upper combine over PB^2 dense keys, mirror combine, diagonal add,
-    band_transpose).  The dense-key combines' real cost was GRID overhead:
-    (PB^2/512) x n_blocks steps (~248k at kitti00 scale, ~13ms each pass)
-    even though 97% of tiles skip compute.  Here the combines target the
-    compact rank key spaces (PB*maxw lanes, ~2.7k grid steps) and this
-    kernel does windowed one-hot selection per 128-block dense tile:
+    """Dense [6PB, 6PB] damped Schur matrix straight from ONE band-major
+    compact block table: band m holds the (row, col)-sorted Hsc blocks
+    whose row is in [m*64, (m+1)*64), packed at lanes [m*Wg, m*Wg+count_m).
 
-      x_ij = RowSel @ (val_ij * ColSel)        (upper blocks, window Wu)
-           + MirSel @ (val_ji * MirColSel)     (transposed mirrors, Wc)
+    The previous layout kept TWO rank-major tables (row-rank up + col-rank
+    mirrors), each fed by its own tiled_segsum combine.  Band-major packing
+    makes the mirror blocks of output tile (tp, tq) — the blocks whose ROW
+    is in tq's column range — a window of the SAME table (bands 2*tq and
+    2*tq+1 for tile_q = 128), so one combine feeds both reads, the loop
+    shape's col-rank combine (4.5x the odometry grid) disappears, and the
+    multichip psum payload halves (docs/PERF_NOTES.md round 4).
+
+      x_ij = RowSel @ (val_ij * ColSel)        (upper blocks, band tp)
+           + MirSel @ (val_ji * MirColSel)     (mirrors, bands of tq)
            + diag one-hot * damped Hpp         (fused damping)
       out_tile = sum_i Ri @ (sum_j x_ij @ Cj^T)   (the 6x6 interleave)
 
-    Window bases are pure index math (rank-major layout has fixed stride),
-    so no scalar prefetch is needed.  Sign matches schur.assemble_dense:
+    Window bases are pure index math (bands have fixed stride Wg), so no
+    scalar prefetch is needed.  Sign matches schur.assemble_dense:
     dense = diag - (up + mirrors).  Replaces the reference's Hsc BSR
     assembly + twistCSR permutations (src/cuda_block_solver.cu:964-977,
     src/cuda_linear_solver.cpp:278-335) with MXU selection matmuls.
     """
     TP_T, TQ_T = PB // tile_p, PB // tile_q
     TTP, TTQ = tile_p * 6, tile_q * 6
-    Wu, Wc = tile_p * maxw, tile_q * maxwc
-    assert Wu % 128 == 0 and Wc % 128 == 0, (Wu, Wc)
+    assert tile_q == 2 * tile_p  # mirror window = 2 consecutive bands
+    Wu, Wc = Wg, 2 * Wg
+    assert Wg % 128 == 0, Wg
 
-    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, ipc_ref, irc_ref,
+    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, mhr_ref, mhc_ref,
              db_ref, out_ref):
         tp = pl.program_id(0)
         tq = pl.program_id(1)
@@ -963,9 +963,11 @@ def compact_to_dense(
         def _():
             iru_l = iru_ref[0, :] - tp * tile_p  # local row of up slots
             icu_l = icu_ref[0, :] - tq * tile_q  # local col of up slots
-            ipc_l = ipc_ref[0, :] - tp * tile_p  # local row (block col) of mirrors
-            irc_l = irc_ref[0, :] - tq * tile_q  # local col (block row) of mirrors
-            mir_off_diag = irc_ref[0, :] != ipc_ref[0, :]
+            # mirror slots: output row = the block's COLUMN, output col =
+            # the block's ROW (transposed read of the tq row-bands)
+            ipc_l = mhc_ref[0, :] - tp * tile_p
+            irc_l = mhr_ref[0, :] - tq * tile_q
+            mir_off_diag = mhr_ref[0, :] != mhc_ref[0, :]
 
             rr_u = jax.lax.broadcasted_iota(jnp.int32, (tile_p, Wu), 0)
             cc_u = jax.lax.broadcasted_iota(jnp.int32, (Wu, tile_q), 1)
@@ -1024,7 +1026,7 @@ def compact_to_dense(
         ],
         out_specs=pl.BlockSpec((TTP, TTQ), lambda a, b, o: (a, b)),
     )
-    PBmw, PBmwc = PB * maxw, PB * maxwc
+    MWg = gT.shape[1]
     # windows + double-buffered out tile + unrolled-loop transients push the
     # working set past the 16MB scoped-vmem default at kitti00 scale
     return pl.pallas_call(
@@ -1033,27 +1035,26 @@ def compact_to_dense(
         out_shape=jax.ShapeDtypeStruct((PB * 6, PB * 6), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(occ, upT, iru.reshape(1, PBmw), icu.reshape(1, PBmw),
-      clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)
+    )(occ, gT, ghr.reshape(1, MWg), ghc.reshape(1, MWg),
+      gT, ghr.reshape(1, MWg), ghc.reshape(1, MWg), dbT)
 
 
 def compact_to_band(
-    upT: jnp.ndarray,  # [36, PB*maxw] row-rank-major combined Hsc blocks
-    iru: jnp.ndarray,  # [PB*maxw] int32 block row per rank slot (-1 pad)
-    icu: jnp.ndarray,  # [PB*maxw] int32 block col per rank slot (-1 pad)
-    clT: jnp.ndarray,  # [36, PB*maxwc] col-rank-major combined Hsc blocks
-    ipc: jnp.ndarray,  # [PB*maxwc] int32 block col per col-rank slot (-1 pad)
-    irc: jnp.ndarray,  # [PB*maxwc] int32 block row per col-rank slot (-1 pad)
+    gT: jnp.ndarray,  # [36, M*Wg] band-major combined Hsc blocks
+    ghr: jnp.ndarray,  # [M*Wg] int32 block row per band slot (-1 pad)
+    ghc: jnp.ndarray,  # [M*Wg] int32 block col per band slot (-1 pad)
     dbT: jnp.ndarray,  # [36, PB] damped diagonal blocks (identity on padding)
     occ_band: jnp.ndarray,  # [m*2] int32: (k, e) band tile occupancy
     PB: int,
-    maxw: int,
-    maxwc: int,
+    Wg: int,
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Block-tridiagonal storage straight from the compact rank-major block
-    tables — the band-certified sibling of :func:`compact_to_dense`.
+    """Block-tridiagonal storage straight from the band-major compact block
+    table — the band-certified sibling of :func:`compact_to_dense` (see
+    there for the layout).  The mirror blocks of band tile (k, e) — blocks
+    with row in [cbase, cbase+64) and col back in k's range — are exactly
+    band k+e of the same table, read transposed.
 
     Output [m*384, 768]: band tile (k, e) holds the dense 384x384 block
     A[k, k+e] of the damped Schur complement (e=0: diagonal D_k; e=1:
@@ -1067,10 +1068,10 @@ def compact_to_band(
     tile = 64
     TT = tile * 6  # 384
     M = PB // tile
-    Wu, Wc = tile * maxw, tile * maxwc
-    assert Wu % 128 == 0 and Wc % 128 == 0, (Wu, Wc)
+    Wu = Wc = Wg
+    assert Wg % 128 == 0, Wg
 
-    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, ipc_ref, irc_ref,
+    def kern(occ_ref, up_ref, iru_ref, icu_ref, cl_ref, mhr_ref, mhc_ref,
              db_ref, out_ref):
         k = pl.program_id(0)
         e = pl.program_id(1)
@@ -1083,9 +1084,11 @@ def compact_to_band(
             cbase = (k + e) * tile
             iru_l = iru_ref[0, :] - rbase  # local row of up slots
             icu_l = icu_ref[0, :] - cbase  # local col of up slots
-            ipc_l = ipc_ref[0, :] - rbase  # local row (block col) of mirrors
-            irc_l = irc_ref[0, :] - cbase  # local col (block row) of mirrors
-            mir_off_diag = irc_ref[0, :] != ipc_ref[0, :]
+            # mirror slots (band k+e read transposed): output row = the
+            # block's COLUMN, output col = the block's ROW
+            ipc_l = mhc_ref[0, :] - rbase
+            irc_l = mhr_ref[0, :] - cbase
+            mir_off_diag = mhr_ref[0, :] != mhc_ref[0, :]
 
             rr_u = jax.lax.broadcasted_iota(jnp.int32, (tile, Wu), 0)
             cc_u = jax.lax.broadcasted_iota(jnp.int32, (Wu, tile), 1)
@@ -1142,15 +1145,15 @@ def compact_to_band(
         ],
         out_specs=pl.BlockSpec((TT, TT), lambda k, e, o: (k, e)),
     )
-    PBmw, PBmwc = PB * maxw, PB * maxwc
+    MWg = gT.shape[1]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M * TT, 2 * TT), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(occ_band, upT, iru.reshape(1, PBmw), icu.reshape(1, PBmw),
-      clT, ipc.reshape(1, PBmwc), irc.reshape(1, PBmwc), dbT)
+    )(occ_band, gT, ghr.reshape(1, MWg), ghc.reshape(1, MWg),
+      gT, ghr.reshape(1, MWg), ghc.reshape(1, MWg), dbT)
 
 
 # ---------------------------------------------------------------------------

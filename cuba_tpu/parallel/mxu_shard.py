@@ -21,7 +21,7 @@ kernel family (ops/segmm.py, solver/mxu.py) usable *inside* shard_map:
      the axis and calls the SAME mxu.* functions the single-chip engine
      uses, with psums at exactly four points: chi, HppT, the W·bl pose
      accumulate (prepare_factors_mxu axis_name) and the compact Schur
-     tables (schur_compact_mxu output, ~36*(maxw+maxwc)*PB floats — ~10 MB
+     table (schur_compact_mxu output, 36*M*Wg floats — ~3.6 MB
      at kitti00 scale vs the ~285 MB dense image).
 
 The reference has no counterpart (single-GPU, SURVEY.md §2); this is the

@@ -733,34 +733,33 @@ class MultiChipEngine:
                     )
                     xp = xT.T
                 else:
-                    upT2, clT2 = mxu.schur_compact_mxu(
+                    gT = mxu.schur_compact_mxu(
                         W, HplT, plans, mc, interpret=interp)
-                    upT2 = jax.lax.psum(upT2, AXIS)
-                    clT2 = jax.lax.psum(clT2, AXIS)
+                    gT = jax.lax.psum(gT, AXIS)
                     n = 6 * PB
                     rhs = jnp.zeros(n, dt).at[: 6 * num_p].set(
                         bscT.T.reshape(-1))
                     refine = cfg.refinement_steps if dt == jnp.float32 else 0
                     if use_band:
                         Db, Ub = mxu.band_from_compact(
-                            upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,
+                            gT, HppT, lam, num_p, PB, plans, mc, dt,
                             interpret=interp)
                         x, ok = band_cr.cr_solve(Db, Ub, rhs, refine)
                     elif use_bandlr:
                         # banded + loop closures: CR factor + Woodbury
                         # correction over the out-of-band columns (the
                         # single-chip band_lr path, replicated from the
-                        # psum'd compact tables); >= 1 refinement sweep
+                        # psum'd compact table); >= 1 refinement sweep
                         # compensates the Gershgorin SPD shift
                         Db, Ub, Vob = mxu.band_from_compact(
-                            upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,
+                            gT, HppT, lam, num_p, PB, plans, mc, dt,
                             interpret=interp, with_ob=True)
                         x, ok = band_cr.cr_solve_woodbury(
                             Db, Ub, rhs, Vob, mc.ob_i, mc.ob_j, mc.ob_jrows,
                             max(refine, 1))
                     else:
                         Dm = mxu.dense_from_compact(
-                            upT2, clT2, HppT, lam, num_p, PB, plans, mc, dt,
+                            gT, HppT, lam, num_p, PB, plans, mc, dt,
                             interpret=interp)
                         x, ok = dense_cholesky.cholesky_solve(Dm, rhs, refine)
                     xp = x[: 6 * num_p].reshape(num_p, 6)

@@ -56,13 +56,14 @@ class MXUPlans:
     pad_blocks: int = 0  # dense Schur block padding (engine's)
     up: Optional[segmm.TilePlan] = None  # schur windows -> dense upper keys
     lo: Optional[segmm.TilePlan] = None  # schur windows -> dense mirror keys
-    # v2 dense formation (compact rank-major tables + compact_to_dense):
-    # preferred; up/lo are the fallback when the block band is too wide
+    # v2 dense formation (ONE band-major compact table + compact_to_dense /
+    # compact_to_band): preferred; up/lo are the fallback when the per-band
+    # block count exceeds the window gate
     v2: bool = False
-    maxw: int = 0  # max Hsc blocks per block-row, padded even
-    maxwc: int = 0  # max Hsc blocks per block-column
-    up2: Optional[segmm.TilePlan] = None  # windows -> row-rank keys
-    cl2: Optional[segmm.TilePlan] = None  # windows -> col-rank keys
+    maxw: int = 0  # max Hsc blocks per block-row (diagnostic)
+    maxwc: int = 0  # max Hsc blocks per block-column (diagnostic)
+    wg: int = 0  # band-major lanes per 64-row band (128-aligned)
+    up2: Optional[segmm.TilePlan] = None  # windows -> band-slot keys
     # transposed per-edge front end (solver/edgerows.py): one-hot gathers
     # feed [d, E] row math; rows_ok gates it (pose table must fit VMEM)
     rows_ok: bool = False
@@ -127,15 +128,13 @@ class MXUConsts(NamedTuple):
     bb_up: jnp.ndarray
     bb_lo: jnp.ndarray
     occ: jnp.ndarray  # [T_P*T_Q] band-transpose tile occupancy
-    # v2 formation constants (1-element dummies when plans.v2 is False)
-    gkey_up2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] row-rank key
-    gkey_cl2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] col-rank key
+    # v2 formation constants (1-element dummies when plans.v2 is False):
+    # ONE band-major compact table (see segmm.compact_to_dense) — the
+    # combine key stream plus the per-band-slot (row, col) tables
+    gkey_up2: jnp.ndarray = np.zeros(1, np.int32)  # [C*kwin] band-slot key
     bb_up2: jnp.ndarray = np.zeros(1, np.int32)
-    bb_cl2: jnp.ndarray = np.zeros(1, np.int32)
-    iru: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxw] block row per rank slot
-    icu: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxw] block col per rank slot
-    ipc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block col per col-rank slot
-    irc: jnp.ndarray = np.zeros(1, np.int32)  # [PB*maxwc] block row per col-rank slot
+    iru: jnp.ndarray = np.zeros(1, np.int32)  # [M*Wg] block row per band slot
+    icu: jnp.ndarray = np.zeros(1, np.int32)  # [M*Wg] block col per band slot
     occ2: jnp.ndarray = np.zeros(1, np.int32)  # [T_P*T_Q] v2 tile occupancy
     band_occ: jnp.ndarray = np.zeros(1, np.int32)  # [m*2] band (k, e) occupancy
     # rows front-end constants (1-element dummies when plans.rows_ok False).
@@ -180,9 +179,9 @@ class MXUConsts(NamedTuple):
     hsc_key: jnp.ndarray = np.zeros(1, np.int32)
     # "dv2" v2-formation wire: the compact per-chunk window block list
     # ([C*kwin], -1 tails; values < n_hsc so it int16-narrows + delta-packs).
-    # derive_consts rebuilds gkey_up2/gkey_cl2/iru/icu/ipc/irc from this +
-    # hsc_key — replacing ~3 MB of shipped rank-key tables at kitti00-loop
-    # scale (dummy outside dv2)
+    # derive_consts rebuilds gkey_up2/iru/icu from this + hsc_key —
+    # replacing ~3 MB of shipped key tables at kitti00-loop scale (dummy
+    # outside dv2)
     sc_gid: jnp.ndarray = np.zeros(1, np.int32)
     # gid_dv wire mode: pose_gid/lm_gid ride DERIVED from e2h via
     # hpl_row/hpl_col gathers; only the edges without an Hpl slot (a fixed
@@ -221,7 +220,7 @@ class MXUForce:
 
 
 _TILE_NAMES = ("hll_m", "hll_s", "hpl_m", "hpl_s", "ivs", "xpg", "cl",
-               "up2", "cl2", "xwg_m", "xwg_s")
+               "up2", "xwg_m", "xwg_s")
 _ACCUM_NAMES = ("paw_m", "paw_s", "paw_b", "rg_m", "rg_s")
 
 
@@ -244,7 +243,7 @@ def static_sig(p: Optional[MXUPlans]):
         p.e_pad_m, p.e_pad_s, p.hpl_pad, p.p_src_pad,
         tp(p.hll_m), tp(p.hll_s), tp(p.hpl_m), tp(p.hpl_s),
         tp(p.ivs), tp(p.xpg), tp(p.cl), tp(p.up), tp(p.lo), p.pad_blocks,
-        p.v2, p.maxw, p.maxwc, tp(p.up2), tp(p.cl2),
+        p.v2, p.maxw, p.maxwc, p.wg, tp(p.up2),
         sc_sig,
         p.rows_ok, tp(p.xwg_m), tp(p.xwg_s),
         aw(p.paw_m), aw(p.paw_s), aw(p.paw_b),
@@ -394,17 +393,21 @@ def _gid_exceptions(e2h, ids_p, ids_l, e_pad):
             np.asarray(ids_l, np.int32)[exc], int(exc.size))
 
 
-def _maxw_of(hsc_row, hsc_col) -> Tuple[int, int]:
-    """(maxw, maxwc) exactly as plan_mxu's v2 block computes them: max Hsc
-    blocks per block-row/column, maxw rounded up even (lane alignment)."""
+# Band-major window gate.  The compact_to_dense working set is linear in
+# Wg — the unrolled 6x6 loop's [Wu,128]/[Wc,128] selection transients
+# dominate, measured 65.6MB scoped vmem at Wg=3968 vs the 64MB kernel
+# limit (compile OOM).  2048 keeps ~2x VMEM margin and 3x headroom over
+# kitti00-loop's Wg=640; scattered covisibility (Wg well past this) is
+# better served by the XLA fallback path anyway.
+_WG_MAX = 2048
+
+
+def _wg_of(hsc_row) -> int:
+    """Band-major lanes per 64-row band, exactly as plan_mxu's v2 block
+    computes it: max Hsc blocks per band, rounded up to 128 lanes."""
     hr = np.asarray(hsc_row, np.int64)
-    hc = np.asarray(hsc_col, np.int64)
-    maxw = int(np.bincount(hr).max()) if hr.size else 1
-    maxw += maxw % 2
-    maxw = max(maxw, 2)
-    maxwc = max(int(np.bincount(hc).max()) if hc.size else 1, 1)
-    maxwc += maxwc % 2
-    return maxw, maxwc
+    cnt = int(np.bincount(hr // 64).max()) if hr.size else 1
+    return _round_up(max(cnt, 1), 128)
 
 
 def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
@@ -450,13 +453,12 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                 # the C++ hash-map+sort agree — asserted identical in
                 # tests/test_structure.py), so the device can recover it
                 # with one searchsorted; gate on int32 key range, a
-                # strictly-ascending table (structure.py), the v2 window
-                # geometry (lk derivation rides gkey_up2), and the
+                # strictly-ascending table (structure.py), the band-major
+                # window geometry (the v2 formation gate), and the
                 # flattened per-chunk searchsorted offsets fitting int32
-                maxw, maxwc = _maxw_of(hsc_row, hsc_col)
-                stride = num_p * maxw + maxw
+                stride = sc.n_hsc_pad + 1  # > any global block id
                 if (0 < len(hsc_row) and num_p <= 46340
-                        and maxw <= 64 and maxwc <= 64
+                        and _wg_of(hsc_row) <= _WG_MAX
                         and sc.num_chunks * stride < 2**31 - 1):
                     k64 = (np.asarray(hsc_row, np.int64) * num_p
                            + np.asarray(hsc_col, np.int64))
@@ -690,16 +692,18 @@ def plan_mxu(
             break
         e_pad_m, e_pad_s, hpl_pad = need_em, need_es, need_hpl
 
-    # dense formation: window lanes -> block keys.  v2 (preferred) targets
-    # compact rank-major key spaces (PB*maxw lanes) so the combine grids are
-    # ~100x smaller than the dense-key fallback's (PB^2/tile * n_blocks grid
-    # steps were ~13ms of pure grid overhead per pass at kitti00 scale);
-    # compact_to_dense then forms the damped matrix in one tile pass.
+    # dense formation: window lanes -> block keys.  v2 (preferred) combines
+    # ONCE into a band-major compact table (band m = blocks with row in
+    # [64m, 64(m+1)), Wg lanes per band) that compact_to_dense/band window
+    # for BOTH the upper and mirror reads — vs the dense-key fallback's
+    # PB^2-key combines (~13ms of pure grid overhead per pass) and vs the
+    # earlier two rank-major tables whose second (col-rank) combine cost
+    # 4.5x the odometry grid on loop-closure shapes (docs/PERF_NOTES.md).
     PB = max(pad_blocks, 1)
     n_hsc = int(s.hsc_row.size)
-    up = lo = up2 = cl2 = None
+    up = lo = up2 = None
     v2 = False
-    maxw = maxwc = 0
+    maxw = maxwc = wg = 0
     lr_k = lr_nob = 0
     ob_consts = {}
     i32 = np.int32
@@ -711,44 +715,33 @@ def plan_mxu(
         hc = np.asarray(s.hsc_col, np.int64)
         rowcnt = np.bincount(hr, minlength=PB)
         colcnt = np.bincount(hc, minlength=PB)
-        maxw = int(rowcnt.max()) if n_hsc else 1
-        maxw += maxw % 2  # 64*maxw must be lane-aligned (% 128 == 0)
-        maxw = max(maxw, 2)
-        maxwc = max(int(colcnt.max()) if n_hsc else 1, 1)
-        maxwc += maxwc % 2  # 64*maxwc lane alignment (compact_to_band)
-        if maxw <= 64 and maxwc <= 64 and n_hsc:
-            # blocks are (row, col)-sorted: rank within row is positional
-            rowstart = np.zeros(PB + 1, np.int64)
-            np.cumsum(rowcnt, out=rowstart[1:])
-            rank = np.arange(n_hsc, dtype=np.int64) - rowstart[hr]
-            rkey = hr * maxw + rank
-            corder = np.lexsort((hr, hc))
-            colstart = np.zeros(PB + 1, np.int64)
-            np.cumsum(colcnt, out=colstart[1:])
-            colrank = np.empty(n_hsc, np.int64)
-            colrank[corder] = np.arange(n_hsc, dtype=np.int64) - colstart[hc[corder]]
-            ckey = hc * maxwc + colrank
-            gkey_up2 = np.where(gid >= 0, rkey[np.maximum(gid, 0)], -1).astype(i32)
-            gkey_cl2 = np.where(gid >= 0, ckey[np.maximum(gid, 0)], -1).astype(i32)
+        maxw = int(rowcnt.max()) if n_hsc else 1  # diagnostics / sig only
+        maxwc = int(colcnt.max()) if n_hsc else 1
+        M = PB // 64
+        bandcnt = np.bincount(hr // 64, minlength=M)
+        wg = _round_up(max(int(bandcnt.max()) if n_hsc else 1, 1), 128)
+        if wg <= _WG_MAX and n_hsc:
+            # blocks are (row, col)-sorted: position within the band is the
+            # band slot (host twin of derive_consts' dv2 derivation)
+            bandstart = np.zeros(M + 1, np.int64)
+            np.cumsum(bandcnt, out=bandstart[1:])
+            bslot = (hr // 64) * wg + (
+                np.arange(n_hsc, dtype=np.int64) - bandstart[hr // 64]
+            )
+            gkey_up2 = np.where(gid >= 0, bslot[np.maximum(gid, 0)], -1).astype(i32)
             up2 = btile(segmm.plan_tiles(
-                gkey_up2, PB * maxw, tile=128, block=512, max_blocks=32), "up2")
-            cl2 = btile(segmm.plan_tiles(
-                gkey_cl2, PB * maxwc, tile=128, block=512, max_blocks=32), "cl2")
-            iru = np.full(PB * maxw, -1, i32)
-            icu = np.full(PB * maxw, -1, i32)
-            iru[rkey] = hr
-            icu[rkey] = hc
-            ipc = np.full(PB * maxwc, -1, i32)
-            irc = np.full(PB * maxwc, -1, i32)
-            ipc[ckey] = hc
-            irc[ckey] = hr
+                gkey_up2, M * wg, tile=128, block=512, max_blocks=32), "up2")
+            iru = np.full(M * wg, -1, i32)
+            icu = np.full(M * wg, -1, i32)
+            iru[bslot] = hr
+            icu[bslot] = hc
             occ2 = np.zeros((PB // 64, PB // 128), i32)
             occ2[hr // 64, hc // 128] = 1
             occ2[hc // 64, hr // 128] = 1
             dd = np.arange(PB)
             occ2[dd // 64, dd // 128] = 1
             occ2 = occ2.reshape(-1)
-            v2 = up2.ok and cl2.ok
+            v2 = up2.ok
             # band + low-rank (loop closure): identify out-of-band blocks
             # and their loop-column set J.  The Woodbury solver corrects
             # the CR band factor with 6*|J| extra RHS columns; gate at 64
@@ -762,7 +755,7 @@ def plan_mxu(
                 if J.size <= 64:
                     lr_k, lr_nob = int(J.size), int(ob_idx.size)
                     ob_consts = dict(
-                        ob_rkey=rkey[ob_idx].astype(i32),
+                        ob_rkey=bslot[ob_idx].astype(i32),
                         ob_i=np.searchsorted(J, obr).astype(i32),
                         ob_j=np.searchsorted(J, obc).astype(i32),
                         ob_jrows=(J[:, None] * 6 + np.arange(6)).reshape(-1).astype(i32),
@@ -855,7 +848,7 @@ def plan_mxu(
     plans = MXUPlans(
         ok, e_pad_m, e_pad_s, hpl_pad, p_src_pad,
         hll_m, hll_s, hpl_m, hpl_s, ivs, xpg, cl, sc, pad_blocks, up, lo,
-        v2, maxw, maxwc, up2, cl2,
+        v2, maxw, maxwc, wg, up2,
         rows_ok, p_res_pad, xwg_m, xwg_s,
         paw_m, paw_s, paw_b,
         rg_m, rg_s,
@@ -947,16 +940,15 @@ def plan_mxu(
     if v2:
         v2_consts = dict(
             bb_up2=np.asarray(up2.base_block, i32),
-            bb_cl2=np.asarray(cl2.base_block, i32),
             occ2=occ2,
             band_occ=occ_band,
         )
         if dv2:
-            # gkey_up2/gkey_cl2/iru/icu/ipc/irc are all functions of
-            # (hsc_key, gid): derive_consts rebuilds them on device.  Only
-            # the compact window block list rides the wire (int16 +
-            # delta-packed: ~0.6 MB vs the ~3 MB of shipped rank-key
-            # tables at kitti00-loop scale, docs/PERF_NOTES.md)
+            # gkey_up2/iru/icu are all functions of (hsc_key, gid):
+            # derive_consts rebuilds them on device.  Only the compact
+            # window block list rides the wire (int16 + delta-packed:
+            # ~0.6 MB vs the ~3 MB of shipped key tables at kitti00-loop
+            # scale, docs/PERF_NOTES.md)
             g = np.asarray(sc.gid, np.int64).reshape(-1)
             v2_consts["sc_gid"] = (
                 g.astype(np.int16)
@@ -964,10 +956,7 @@ def plan_mxu(
                 else g.astype(i32)
             )
         else:
-            v2_consts.update(
-                gkey_up2=gkey_up2, gkey_cl2=gkey_cl2,
-                iru=iru, icu=icu, ipc=ipc, irc=irc,
-            )
+            v2_consts.update(gkey_up2=gkey_up2, iru=iru, icu=icu)
         # fallback-path constants become dummies (not uploaded at size)
         gkey_up = gkey_lo = dummy
         bb_up = bb_lo = occ_c = dummy
@@ -1047,8 +1036,7 @@ def derive_statics(plans: MXUPlans, n_hpl: int) -> Optional[tuple]:
     sch = plans.schur
     t = (n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri, sch.num_chunks)
     if plans.sc_pack == "dv2":
-        t += (sch.kwin, plans.maxw, plans.maxwc, plans.pad_blocks,
-              sch.n_hsc_pad)
+        t += (sch.kwin, plans.wg, plans.pad_blocks, sch.n_hsc_pad)
     return t
 
 
@@ -1059,66 +1047,48 @@ def derive_consts(
     """Expand the wire-compressed constants on device (engine calls this in
     one jitted dispatch right after the packed upload): rebuild sc_li/sc_lj
     from hpl_col ("dv"/"dv2" modes — canonical triplet enumeration, nothing
-    on the wire), sc_lk from hsc_key + gkey_up2 ("dv2"), and the v2
-    formation tables gkey_up2/gkey_cl2/iru/icu/ipc/irc from hsc_key +
-    sc_gid ("dv2"), or unpack sc_lij; derive the gated acc tables, the
-    rank-order pose gather ids, and (``gid_dv``) the per-edge pose/lm ids
-    themselves from e2h + the exception triples.
+    on the wire), sc_lk from hsc_key + sc_gid ("dv2"), and the band-major
+    v2 formation tables gkey_up2/iru/icu from hsc_key + sc_gid ("dv2"), or
+    unpack sc_lij; derive the gated acc tables, the rank-order pose gather
+    ids, and (``gid_dv``) the per-edge pose/lm ids themselves from e2h +
+    the exception triples.
 
     ``sc_dv`` = (n_hpl, chunk, slot_block, n_tri, num_chunks) statics for
-    the "dv" derivation; "dv2" appends (kwin, maxw, maxwc, pad_blocks,
-    n_hsc_pad) (None otherwise).
+    the "dv" derivation; "dv2" appends (kwin, wg, pad_blocks, n_hsc_pad)
+    (None otherwise).
     """
     if sc_pack not in ("none", "p2", "p3", "dv", "dv2"):
         raise ValueError(f"unknown sc_pack mode {sc_pack!r}")
     if sc_pack in ("dv", "dv2") and sc_dv is None:
         raise ValueError(f"sc_pack={sc_pack!r} requires sc_dv statics")
-    if sc_pack == "dv2" and len(sc_dv) < 10:
-        raise ValueError("sc_pack='dv2' requires the 10-tuple sc_dv statics")
+    if sc_pack == "dv2" and len(sc_dv) < 9:
+        raise ValueError("sc_pack='dv2' requires the 9-tuple sc_dv statics")
     upd = {}
     i32 = jnp.int32
     if sc_pack == "dv2":
-        # v2 formation tables: every one is a function of (hsc_key, sc_gid).
-        # Host twin: the v2 block of plan_mxu (rkey/ckey/iru/icu/ipc/irc).
-        _kwin, maxw, maxwc, PB, n_hsc_pad = sc_dv[5:10]
+        # band-major v2 formation tables: every one is a function of
+        # (hsc_key, sc_gid).  Host twin: the v2 block of plan_mxu.
+        _kwin, Wg, PB, n_hsc_pad = sc_dv[5:9]
+        M = PB // 64
         hk = mc.hsc_key
         vb = hk != _HSC_KEY_PAD
         hr = jnp.where(vb, hk // num_p, 0).astype(i32)
         hc = jnp.where(vb, hk - hr * num_p, 0).astype(i32)
         lanes = jnp.arange(n_hsc_pad, dtype=i32)
-        # first block of row r sits at searchsorted(hk, r*num_p); rank
-        # within the row is positional ((row, col)-sorted keys)
-        rowstart = jnp.searchsorted(
-            hk, jnp.arange(num_p, dtype=i32) * num_p
+        # first block of band m sits at searchsorted(hk, 64*m*num_p);
+        # position within the band is the band slot ((row, col)-sorted)
+        bandstart = jnp.searchsorted(
+            hk, jnp.arange(M, dtype=i32) * (64 * num_p)
         ).astype(i32)
-        rkey = jnp.where(vb, hr * maxw + (lanes - rowstart[hr]), -1)
-        # column ranks via one sort by (col, row): the keys are unique so
-        # argsort is a permutation and the scatter writes each lane once
-        ck2 = jnp.where(vb, hc * num_p + hr, _HSC_KEY_PAD)
-        order = jnp.argsort(ck2).astype(i32)
-        hc_s = hc[order]
-        colstart = jnp.searchsorted(
-            ck2[order], jnp.arange(num_p, dtype=i32) * num_p
-        ).astype(i32)
-        ckey_s = jnp.where(
-            vb[order], hc_s * maxwc + (lanes - colstart[hc_s]), -1
-        )
-        ckey = jnp.zeros(n_hsc_pad, i32).at[order].set(ckey_s)
+        band = hr // 64
+        bslot = jnp.where(vb, band * Wg + (lanes - bandstart[band]), -1)
         gid = mc.sc_gid.astype(i32)
         gv = gid >= 0
         g0 = jnp.minimum(jnp.maximum(gid, 0), n_hsc_pad - 1)
-        upd["gkey_up2"] = jnp.where(gv, rkey[g0], -1)
-        upd["gkey_cl2"] = jnp.where(gv, ckey[g0], -1)
-        oob_r = jnp.where(vb, rkey, PB * maxw)
-        oob_c = jnp.where(vb, ckey, PB * maxwc)
-        upd["iru"] = jnp.full(PB * maxw, -1, i32).at[oob_r].set(
-            hr, mode="drop")
-        upd["icu"] = jnp.full(PB * maxw, -1, i32).at[oob_r].set(
-            hc, mode="drop")
-        upd["ipc"] = jnp.full(PB * maxwc, -1, i32).at[oob_c].set(
-            hc, mode="drop")
-        upd["irc"] = jnp.full(PB * maxwc, -1, i32).at[oob_c].set(
-            hr, mode="drop")
+        upd["gkey_up2"] = jnp.where(gv, bslot[g0], -1)
+        oob = jnp.where(vb, bslot, M * Wg)
+        upd["iru"] = jnp.full(M * Wg, -1, i32).at[oob].set(hr, mode="drop")
+        upd["icu"] = jnp.full(M * Wg, -1, i32).at[oob].set(hc, mode="drop")
     if sc_pack in ("dv", "dv2"):
         # canonical enumeration: for landmark l with slots [a_l, b_l), the
         # triplets are (i, j) for i = a_l..b_l-1, j = i..b_l-1 in order —
@@ -1169,11 +1139,10 @@ def derive_consts(
             # ascending distinct blocks (SchurPlan.gid semantics).  The
             # block id mk comes from one searchsorted of the pair key
             # row_i*num_p + row_j against the ascending hsc_key table;
-            # the chunk-local rank from a second searchsorted of the
-            # block's v2 row-rank key (row*maxw + within-row position —
-            # strictly increasing in mk) against the shipped per-chunk
-            # window keys gkey_up2 ([C, kwin], ascending, -1 tail).
-            kwin, maxw = sc_dv[5], sc_dv[6]
+            # the chunk-local rank from a second searchsorted of mk
+            # against the shipped per-chunk window block lists sc_gid
+            # ([C, kwin], ascending, -1 tail).
+            kwin, n_hsc_pad = sc_dv[5], sc_dv[8]
             hk = mc.hsc_key
             # hpl_row may still be int16-narrowed here (the packed-upload
             # path widens before deriving, test paths may not): the pair
@@ -1182,19 +1151,14 @@ def derive_consts(
             rj = mc.hpl_row[jnp.clip(gj, 0, n_hpl - 1)].astype(jnp.int32)
             key = ri * num_p + rj
             mk = jnp.searchsorted(hk, key).astype(jnp.int32)
-            # first block of each row r sits at searchsorted(hk, r*num_p)
-            rowstart = jnp.searchsorted(
-                hk, jnp.arange(num_p, dtype=jnp.int32) * num_p
-            ).astype(jnp.int32)
-            rk = ri * maxw + (mk - rowstart[jnp.clip(ri, 0, num_p - 1)])
-            stride = num_p * maxw + maxw  # > any rkey; C*stride gated int32
+            stride = n_hsc_pad + 1  # > any block id; C*stride gated int32
             cidx = t // chunk
             goff = jnp.repeat(
                 jnp.arange(C, dtype=jnp.int32) * stride, kwin
             )
-            gk_up2 = upd["gkey_up2"]  # derived above from hsc_key + sc_gid
-            flat = jnp.where(gk_up2 >= 0, gk_up2, stride - 1) + goff
-            lk = jnp.searchsorted(flat, rk + cidx * stride).astype(
+            gid_w = mc.sc_gid.astype(jnp.int32)
+            flat = jnp.where(gid_w >= 0, gid_w, stride - 1) + goff
+            lk = jnp.searchsorted(flat, mk + cidx * stride).astype(
                 jnp.int32
             ) - cidx * kwin
             upd["sc_lk"] = jnp.where(valid, lk, -1)
@@ -1504,9 +1468,9 @@ def schur_dense_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     PB = pad_blocks
 
     if plans.v2:
-        upT2, clT2 = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
+        gT = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
         return dense_from_compact(
-            upT2, clT2, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
+            gT, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
             interpret=interpret,
         )
 
@@ -1556,14 +1520,14 @@ def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
     from_dense(schur_dense_mxu(...)) otherwise.
 
     ``with_ob=True`` additionally returns the OUT-of-band (loop closure)
-    block values [n_ob, 6, 6] gathered from the compact rank-major table —
+    block values [n_ob, 6, 6] gathered from the compact band-major table —
     compact_to_band's one-hot selection drops them from (D, U) naturally,
     and band_cr.cr_solve_woodbury folds them back in as a low-rank
     correction (plans.lr_nob > 0 required)."""
     assert plans.v2 and pad_blocks == plans.pad_blocks
-    upT2, clT2 = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
+    gT = schur_compact_mxu(W, HplT, plans, mc, interpret=interpret)
     return band_from_compact(
-        upT2, clT2, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
+        gT, HppT, lam, num_p, pad_blocks, plans, mc, dtype,
         interpret=interpret, with_ob=with_ob,
     )
 
@@ -1571,32 +1535,25 @@ def schur_band_mxu(HppT, W, HplT, lam, num_p, pad_blocks,
 def schur_compact_mxu(W, HplT, plans: MXUPlans, mc: MXUConsts,
                       interpret=False):
     """Shard-local half of the v2 Schur formation: per-chunk windowed pair
-    products (schur_fused) combined into the COMPACT rank-major tables
-    (upT2 [36, PB*maxw], clT2 [36, PB*maxwc]).  The multi-chip engine psums
-    these two tables over the landmark axis — ~36*(maxw+maxwc)*PB floats,
-    ~10 MB at kitti00 scale vs the ~285 MB dense image — then runs the
+    products (schur_fused) combined into ONE band-major compact table
+    (gT [36, M*Wg], segmm.compact_to_dense docstring).  The multi-chip
+    engine psums this table over the landmark axis — 36*M*Wg floats,
+    ~3.6 MB at kitti00 scale vs the ~285 MB dense image — then runs the
     replicated formation (band_from_compact / dense_from_compact)."""
-    PB = plans.pad_blocks
+    M = plans.pad_blocks // 64
     win = segmm.schur_fused(
         W, HplT, plans.schur, mc.sc_sb, mc.sc_li, mc.sc_lj, mc.sc_lk,
         interpret=interpret,
     )
-    wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
+    wpad = _round_up(max(plans.up2.n_pad, win.shape[1]), 1024)
     win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
-
-    def keys(k):
-        return jnp.pad(k, (0, wpad - k.shape[0]), constant_values=-1)
-
-    upT2 = segmm.tiled_segsum(
-        win, keys(mc.gkey_up2), PB * plans.maxw, plans.up2, mc.bb_up2,
-        interpret=interpret)
-    clT2 = segmm.tiled_segsum(
-        win, keys(mc.gkey_cl2), PB * plans.maxwc, plans.cl2, mc.bb_cl2,
-        interpret=interpret)
-    return upT2, clT2
+    keys = jnp.pad(mc.gkey_up2, (0, wpad - mc.gkey_up2.shape[0]),
+                   constant_values=-1)
+    return segmm.tiled_segsum(
+        win, keys, M * plans.wg, plans.up2, mc.bb_up2, interpret=interpret)
 
 
-def dense_from_compact(upT2, clT2, HppT, lam, num_p, pad_blocks,
+def dense_from_compact(gT, HppT, lam, num_p, pad_blocks,
                        plans: MXUPlans, mc: MXUConsts, dtype, interpret=False):
     """Replicated half of the v2 dense formation (see schur_compact_mxu)."""
     PB = pad_blocks
@@ -1605,31 +1562,31 @@ def dense_from_compact(upT2, clT2, HppT, lam, num_p, pad_blocks,
     eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
     dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
     return segmm.compact_to_dense(
-        upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.occ2,
-        PB, plans.maxw, plans.maxwc, interpret=interpret,
+        gT, mc.iru, mc.icu, dbT, mc.occ2, PB, plans.wg,
+        interpret=interpret,
     ).astype(dtype)
 
 
-def band_from_compact(upT2, clT2, HppT, lam, num_p, pad_blocks,
+def band_from_compact(gT, HppT, lam, num_p, pad_blocks,
                       plans: MXUPlans, mc: MXUConsts, dtype, interpret=False,
                       with_ob=False):
     """Replicated half of the v2 band formation: damped diagonal + the
-    compact tables scattered into block-tridiagonal (D, U) storage."""
+    compact table scattered into block-tridiagonal (D, U) storage."""
     PB = pad_blocks
     Hpp_d = HppT[:36].T.reshape(num_p, 6, 6)
     Hpp_d = Hpp_d + lam * jnp.eye(6, dtype=Hpp_d.dtype)
     eye_pad = jnp.broadcast_to(jnp.eye(6, dtype=Hpp_d.dtype), (PB - num_p, 6, 6))
     dbT = jnp.concatenate([Hpp_d, eye_pad], axis=0).reshape(PB, 36).T
     band = segmm.compact_to_band(
-        upT2, mc.iru, mc.icu, clT2, mc.ipc, mc.irc, dbT, mc.band_occ,
-        PB, plans.maxw, plans.maxwc, interpret=interpret,
+        gT, mc.iru, mc.icu, dbT, mc.band_occ, PB, plans.wg,
+        interpret=interpret,
     )
     M = PB // 64
     arr = band.reshape(M, 384, 2, 384).astype(dtype)
     if with_ob:
         # sign: the combined table holds +sum(W Hpl^T); the Schur block is
         # its negation (band = diag - (up + mirrors), compact_to_band doc)
-        Vob = -(upT2[:, mc.ob_rkey].T.reshape(-1, 6, 6)).astype(dtype)
+        Vob = -(gT[:, mc.ob_rkey].T.reshape(-1, 6, 6)).astype(dtype)
         return arr[:, :, 0, :], arr[:, :, 1, :], Vob
     return arr[:, :, 0, :], arr[:, :, 1, :]
 

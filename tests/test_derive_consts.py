@@ -143,16 +143,17 @@ def _expanded_reference(s, pad_blocks=256):
 
 @pytest.mark.parametrize("loop", [False, True])
 def test_v2_formation_tables_derived_exact(loop):
-    """dv2 ships only (hsc_key, sc_gid); gkey_up2/gkey_cl2/iru/icu/ipc/irc
-    must rebuild bit-exactly (vs the expanded wire_pack=False tables)."""
+    """dv2 ships only (hsc_key, sc_gid); the band-major formation tables
+    gkey_up2/iru/icu must rebuild bit-exactly (vs the expanded
+    wire_pack=False tables)."""
     s = _structure(loop=loop, seed=2 if loop else 0)
     plans, consts, out = _derived(s)
     assert plans.sc_pack == "dv2"
     assert consts.sc_gid.size > 1  # the compact window list rides the wire
-    for name in ("gkey_up2", "gkey_cl2", "iru", "icu", "ipc", "irc"):
+    for name in ("gkey_up2", "iru", "icu"):
         assert getattr(consts, name).size == 1, f"{name} shipped"
     ref = _expanded_reference(s)
-    for name in ("gkey_up2", "gkey_cl2", "iru", "icu", "ipc", "irc"):
+    for name in ("gkey_up2", "iru", "icu"):
         np.testing.assert_array_equal(
             np.asarray(getattr(out, name)),
             np.asarray(getattr(ref, name), np.int32), err_msg=name,

@@ -1,6 +1,6 @@
 """Amortized attribution of the band-formation sub-stages at kitti00 scale.
 
-Splits schur_band_mxu into schur_fused / up2 combine / cl2 combine /
+Splits schur_band_mxu into schur_fused / band-major combine /
 compact_to_band, plus cr_solve sub-pieces (factor vs solve vs refine).
 """
 
@@ -97,28 +97,10 @@ def main():
                                  mc.sc_lj, mc.sc_lk)
     t_fused = timed("schur_fused", loop(f_fused), W, HplT)
 
-    # 2. fused + up2 combine
-    from cuba_tpu.solver.mxu import _round_up
-
-    def f_up2(W, HplT):
-        win = f_fused(W, HplT)
-        wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
-        win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
-        k = jnp.pad(mc.gkey_up2, (0, wpad - mc.gkey_up2.shape[0]), constant_values=-1)
-        return segmm.tiled_segsum(win, k, PB * plans.maxw, plans.up2, mc.bb_up2)
-    t_up2 = timed("fused+up2", loop(f_up2), W, HplT)
-
-    # 3. fused + both combines
-    def f_both(W, HplT):
-        win = f_fused(W, HplT)
-        wpad = _round_up(max(plans.up2.n_pad, plans.cl2.n_pad, win.shape[1]), 1024)
-        win = jnp.pad(win, ((0, 0), (0, wpad - win.shape[1])))
-        ku = jnp.pad(mc.gkey_up2, (0, wpad - mc.gkey_up2.shape[0]), constant_values=-1)
-        kc = jnp.pad(mc.gkey_cl2, (0, wpad - mc.gkey_cl2.shape[0]), constant_values=-1)
-        a = segmm.tiled_segsum(win, ku, PB * plans.maxw, plans.up2, mc.bb_up2)
-        b = segmm.tiled_segsum(win, kc, PB * plans.maxwc, plans.cl2, mc.bb_cl2)
-        return a + b
-    t_both = timed("fused+up2+cl2", loop(f_both), W, HplT)
+    # 2. fused + the single band-major combine (= schur_compact_mxu)
+    def f_comb(W, HplT):
+        return mxu.schur_compact_mxu(W, HplT, plans, mc)
+    t_both = t_up2 = timed("fused+combine", loop(f_comb), W, HplT)
 
     # 4. whole schur_band_mxu
     def f_band(W, HplT, HppT):
@@ -145,7 +127,7 @@ def main():
         lambda Db, Ub, rhs: band_cr.cr_solve(Db, Ub, rhs, 2)[0]), Db, Ub, rhs)
     os.environ["CUBA_TPU_CR_RSINV"] = "0"
 
-    print(f"marginals: up2={1e3*(t_up2-t_fused):.2f} cl2={1e3*(t_both-t_up2):.2f} "
+    print(f"marginals: combine={1e3*(t_both-t_fused):.2f} "
           f"compact_to_band~={1e3*(t_band-t_both):.2f}")
 
 
