@@ -416,8 +416,8 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
     the tiny ascending hsc block-key table (row*num_p+col) and derives li/lj
     AND lk on device (lk = rank of the triplet's Hsc block among the chunk's
     ascending distinct blocks — the definition native/symbolic.cpp implements
-    host-side; the device recovers it from hsc_key + the v2 row-rank window
-    keys gkey_up2, see derive_consts); "dv" ships lk int16 and derives li/lj
+    host-side; the device recovers it from hsc_key + the per-chunk window
+    block lists sc_gid, see derive_consts); "dv" ships lk int16 and derives li/lj
     from hpl_col (canonical enumeration — see _canonical_schur_ntri);
     otherwise 3-way li|lj|lk in one int32 when compact kwin keeps lk < 254,
     else 2-way li|lj with lk riding int16.
