@@ -401,6 +401,12 @@ def _gid_exceptions(e2h, ids_p, ids_l, e_pad):
 # better served by the XLA fallback path anyway.
 _WG_MAX = 2048
 
+# v2 combine grid budget: num_tiles * n_blocks grid steps, ~0.5us each
+# (measured 4.9k steps = 2.3 ms at kitti00-loop scale) — caps the combine
+# at ~30 ms on pathologically deep accumulations while letting BAL-scale
+# problems (hundreds of triplet blocks per tile) still plan
+_COMBINE_STEPS_MAX = 65536
+
 
 def _wg_of(hsc_row) -> int:
     """Band-major lanes per 64-row band, exactly as plan_mxu's v2 block
@@ -729,8 +735,14 @@ def plan_mxu(
                 np.arange(n_hsc, dtype=np.int64) - bandstart[hr // 64]
             )
             gkey_up2 = np.where(gid >= 0, bslot[np.maximum(gid, 0)], -1).astype(i32)
+            # adaptive per-tile block cap: dense problems (BAL-scale L/E)
+            # legitimately have hundreds of triplet blocks per output tile
+            # (n_tri/n_hsc deep accumulation, not scatter) — gate the
+            # combine on TOTAL grid cost, not a fixed per-tile span
+            n_t_up2 = max((M * wg + 127) // 128, 1)
+            mb = max(32, _COMBINE_STEPS_MAX // n_t_up2)
             up2 = btile(segmm.plan_tiles(
-                gkey_up2, M * wg, tile=128, block=512, max_blocks=32), "up2")
+                gkey_up2, M * wg, tile=128, block=512, max_blocks=mb), "up2")
             iru = np.full(M * wg, -1, i32)
             icu = np.full(M * wg, -1, i32)
             iru[bslot] = hr

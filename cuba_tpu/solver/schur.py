@@ -63,8 +63,22 @@ def assemble_dense(
     """
     dtype = Hpp_d.dtype
     n_hsc = sc.hsc_row.shape[0]
-    prod = jnp.einsum("tik,tjk->tij", W[sc.mul_i], Hpl[sc.mul_j], precision="highest")
-    blocks = jax.ops.segment_sum(prod, sc.mul_k, num_segments=n_hsc)
+    # triplet gathers + products in 2-D row layout: the [T, 6, 6] einsum
+    # form pads ~28x under the TPU (8, 128) HBM tiling (measured 15+ GB
+    # at 3.8M triplets — an OOM; same fix as the multichip body,
+    # parallel/sharding.py "2-D row layout").  Same 3-term sums, same
+    # order, so fp64 parity is unchanged.
+    WT = W.reshape(-1, 18).T  # [18, n_hpl], rows (i*3+k)
+    GT = Hpl.reshape(-1, 18).T  # [18, n_hpl], rows (j*3+k)
+    Wg = WT[:, sc.mul_i]  # [18, T]
+    Gg = GT[:, sc.mul_j]
+    prod36 = jnp.stack([
+        sum(Wg[3 * a + k] * Gg[3 * b + k] for k in range(3))
+        for a in range(6) for b in range(6)
+    ])  # [36, T], row (a*6+b)
+    blocks = jax.ops.segment_sum(
+        prod36.T, sc.mul_k, num_segments=n_hsc
+    ).reshape(n_hsc, 6, 6)
 
     D = jnp.zeros((pad_blocks, 6, pad_blocks, 6), dtype)
     diag = jnp.arange(num_p)
