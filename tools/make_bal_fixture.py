@@ -35,7 +35,14 @@ def mat_to_rodrigues(R: np.ndarray) -> np.ndarray:
     return Rotation.from_matrix(R).as_rotvec()
 
 
-def generate(n_cams=20, n_pts=500, seed=3, noise_px=0.4):
+def generate(n_cams=20, n_pts=500, seed=3, noise_px=0.4,
+             clustered=False, obs_per_pt=None):
+    """``clustered=True`` gives Ladybug-like covisibility: each point is
+    anchored near one ring angle and observed only by the few cameras in
+    a local angular window (real BAL problems average ~4 obs/point with
+    strongly local visibility, not the random-half toy pattern), with
+    consumer-lens-strength barrel distortion (several percent at the
+    image edge, vs the toy's sub-0.5%)."""
     rng = np.random.default_rng(seed)
     # point blob around the origin
     pts = rng.normal(scale=2.0, size=(n_pts, 3))
@@ -43,8 +50,25 @@ def generate(n_cams=20, n_pts=500, seed=3, noise_px=0.4):
     ang = np.linspace(0, 2 * np.pi, n_cams, endpoint=False)
     centers = np.stack([10 * np.cos(ang), 0.5 * np.sin(3 * ang), 10 * np.sin(ang)], axis=1)
     f = rng.uniform(800.0, 1200.0, size=n_cams)
-    k1 = rng.uniform(-5e-2, -1e-2, size=n_cams)
-    k2 = rng.uniform(1e-3, 5e-3, size=n_cams)
+    if clustered:
+        # barrel distortion at magnitudes a real wide-angle rig shows on
+        # normalized radius (|p| reaches ~0.6 here -> r2 ~ 0.36:
+        # k1*r2 ~ -5..-9%, k2*r4 ~ +0.1%), safely inside the invertible
+        # range of r(p)*|p| (monotonic to |p| ~ 1.2 at k1=-0.25)
+        pt_ang = rng.uniform(0, 2 * np.pi, n_pts)
+        radial = rng.uniform(4.5, 7.5, n_pts)
+        pts = np.stack([
+            radial * np.cos(pt_ang),
+            rng.normal(scale=0.6, size=n_pts),
+            radial * np.sin(pt_ang),
+        ], axis=1)
+        f = rng.uniform(380.0, 420.0, size=n_cams)  # Ladybug-like focals
+        k1 = rng.uniform(-0.25, -0.15, size=n_cams)
+        k2 = rng.uniform(0.003, 0.01, size=n_cams)
+    else:
+        pt_ang = None
+        k1 = rng.uniform(-5e-2, -1e-2, size=n_cams)
+        k2 = rng.uniform(1e-3, 5e-3, size=n_cams)
 
     cams = np.zeros((n_cams, 9))
     Rs, ts = [], []
@@ -63,16 +87,29 @@ def generate(n_cams=20, n_pts=500, seed=3, noise_px=0.4):
         p = -P[:, :2] / P[:, 2:3]  # ideal normalized (BAL convention)
         r2 = np.sum(p * p, axis=1)
         d = f[i] * (1.0 + k1[i] * r2 + k2[i] * r2 * r2)[:, None] * p
-        # each camera sees a random ~half of the points
-        vis = rng.random(n_pts) < 0.5
+        if pt_ang is not None:
+            # local covisibility: camera i sees points anchored within an
+            # angular window, tuned for the requested mean obs/point
+            dang = np.abs((pt_ang - ang[i] + np.pi) % (2 * np.pi) - np.pi)
+            target = obs_per_pt if obs_per_pt else 4.1
+            # window holds ~1.5*target cameras; keep 2/3 of candidates
+            halfwin = 1.5 * target * np.pi / n_cams
+            vis = (dang < halfwin) & (rng.random(n_pts) < 2.0 / 3.0)
+            vis &= P[:, 2] < -0.5  # in front of the BAL camera
+        else:
+            # each camera sees a random ~half of the points
+            vis = rng.random(n_pts) < 0.5
         for j in np.flatnonzero(vis):
             obs.append((i, j, d[j, 0] + rng.normal(scale=noise_px), d[j, 1] + rng.normal(scale=noise_px)))
 
     # perturb initial estimates the way real BAL inputs are imperfect
+    # (clustered preset: ~10x rougher, real SfM initials start at several
+    # px of reprojection error, not a fraction of one)
+    pscale = 10.0 if clustered else 1.0
     cams_init = cams.copy()
-    cams_init[:, 0:3] += rng.normal(scale=2e-3, size=(n_cams, 3))
-    cams_init[:, 3:6] += rng.normal(scale=2e-2, size=(n_cams, 3))
-    pts_init = pts + rng.normal(scale=2e-2, size=pts.shape)
+    cams_init[:, 0:3] += rng.normal(scale=2e-3 * pscale, size=(n_cams, 3))
+    cams_init[:, 3:6] += rng.normal(scale=2e-2 * pscale, size=(n_cams, 3))
+    pts_init = pts + rng.normal(scale=2e-2 * pscale, size=pts.shape)
     return cams_init, pts_init, obs
 
 
@@ -91,7 +128,13 @@ def write(path, cams, pts, obs):
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "data/bal_toy.txt.gz"
-    cams, pts, obs = generate()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ladybug-scale":
+        # Ladybug-49's published shape: 49 cams / 7776 pts / 31843 obs
+        out = sys.argv[2] if len(sys.argv) > 2 else "data/bal_ladybug_scale.txt.gz"
+        cams, pts, obs = generate(n_cams=49, n_pts=7776, seed=7,
+                                  noise_px=0.6, clustered=True)
+    else:
+        out = sys.argv[1] if len(sys.argv) > 1 else "data/bal_toy.txt.gz"
+        cams, pts, obs = generate()
     write(out, cams, pts, obs)
     print(f"wrote {out}: {len(cams)} cams / {len(pts)} pts / {len(obs)} obs")
