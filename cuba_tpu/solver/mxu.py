@@ -436,6 +436,17 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
     if sc is None:
         return "none", {"sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
                         "sc_lk": dummy}
+    # CUBA_TPU_SC_PACK caps the wire mode ("p3" ships the packed triplet
+    # stream, "dv" derives li/lj only, "dv2" additionally derives lk + the
+    # formation tables).  Measurement knob + escape hatch: the device-side
+    # enumeration costs real dispatch time (docs/PERF_NOTES.md round 4).
+    import os
+
+    cap = os.environ.get("CUBA_TPU_SC_PACK", "dv")
+    if cap in ("p3", "none"):
+        col = None
+    if cap != "dv2":
+        hsc = None
     ckey = (id(sc), col is not None, hsc is not None)
     if _PACK_SCHUR_CACHE[0] == ckey:
         return _PACK_SCHUR_CACHE[1]

@@ -4,8 +4,11 @@ The "dv" schur-id mode ships ONLY lk; li/lj are rebuilt on device from
 hpl_col via the canonical triplet enumeration (landmark-major, i-major).
 The "dv2" mode ships NOTHING but the tiny ascending hsc block-key table:
 lk is rebuilt on device too (searchsorted of the pair key against hsc_key,
-then a per-chunk rank via the v2 window keys gkey_up2) — together ~7 MB
-less ctor wire at kitti00 scale (docs/PERF_NOTES.md).
+then a per-chunk rank via the shipped window block lists sc_gid) — ~7 MB
+less ctor wire at kitti00 scale, but the lk searchsorted costs ~0.5 s of
+device dispatch at that scale (docs/PERF_NOTES.md round 4), so "dv" is
+the default and dv2 is opt-in via CUBA_TPU_SC_PACK=dv2 (forced here to
+keep the machinery pinned).
 """
 
 import numpy as np
@@ -15,6 +18,11 @@ import pytest
 from cuba_tpu.io import synthetic
 from cuba_tpu.solver import mxu
 from cuba_tpu.solver.structure import build_structure_from_arrays
+
+
+@pytest.fixture(autouse=True)
+def _force_dv2(monkeypatch):
+    monkeypatch.setenv("CUBA_TPU_SC_PACK", "dv2")
 
 
 def _structure(num_p=220, num_l=6000, seed=0, loop=False, fixed_lms=0):
