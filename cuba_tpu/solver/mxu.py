@@ -1126,7 +1126,10 @@ def derive_consts(
         cumT = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(Tl)])
         n_pad = C * chunk
         t = jnp.arange(n_pad, dtype=jnp.int32)
-        # triplet -> landmark: inclusive cumsum over boundary marks
+        # triplet -> landmark: inclusive cumsum over boundary marks.
+        # (A searchsorted(cumT, t) computes the same thing but measured 3x
+        # SLOWER — log(L) sequential 1.95M-query gather passes lose to one
+        # device cumsum.  Same reason dv2's lk searchsorted cost ~0.5 s.)
         marks = jnp.zeros(n_pad + 1, jnp.int32).at[
             jnp.minimum(cumT[1:], n_pad)
         ].add(1)
@@ -1159,12 +1162,13 @@ def derive_consts(
         upd["sc_lj"] = jnp.where(valid, gj - base, -1)
         if sc_pack == "dv2":
             # lk = rank of the triplet's Hsc block among its chunk's
-            # ascending distinct blocks (SchurPlan.gid semantics).  The
-            # block id mk comes from one searchsorted of the pair key
-            # row_i*num_p + row_j against the ascending hsc_key table;
-            # the chunk-local rank from a second searchsorted of mk
-            # against the shipped per-chunk window block lists sc_gid
-            # ([C, kwin], ascending, -1 tail).
+            # ascending distinct blocks (SchurPlan.gid semantics).  Rank
+            # the triplet's pair key (row_i*num_p + row_j) directly
+            # against the CHUNK's own block keys hsc_key[sc_gid[c]]: one
+            # fused [C, R, kwin] compare-sum, no searchsorted — two
+            # sequential log-pass searchsorteds over 1.95M queries
+            # measured ~0.48 s here; the compare-sum is ~10 ms (VPU,
+            # PERF_NOTES r4).
             kwin, n_hsc_pad = sc_dv[5], sc_dv[8]
             hk = mc.hsc_key
             # hpl_row may still be int16-narrowed here (the packed-upload
@@ -1173,17 +1177,18 @@ def derive_consts(
             ri = mc.hpl_row[jnp.clip(gi, 0, n_hpl - 1)].astype(jnp.int32)
             rj = mc.hpl_row[jnp.clip(gj, 0, n_hpl - 1)].astype(jnp.int32)
             key = ri * num_p + rj
-            mk = jnp.searchsorted(hk, key).astype(jnp.int32)
-            stride = n_hsc_pad + 1  # > any block id; C*stride gated int32
-            cidx = t // chunk
-            goff = jnp.repeat(
-                jnp.arange(C, dtype=jnp.int32) * stride, kwin
+            gid_w = mc.sc_gid.astype(jnp.int32).reshape(C, kwin)
+            hkey_w = jnp.where(
+                gid_w >= 0,
+                hk[jnp.clip(gid_w, 0, n_hsc_pad - 1)],
+                jnp.int32(2**31 - 1),  # -1 tails never rank below a key
             )
-            gid_w = mc.sc_gid.astype(jnp.int32)
-            flat = jnp.where(gid_w >= 0, gid_w, stride - 1) + goff
-            lk = jnp.searchsorted(flat, mk + cidx * stride).astype(
-                jnp.int32
-            ) - cidx * kwin
+            lk = (
+                (hkey_w[:, None, :] < key.reshape(C, chunk)[:, :, None])
+                .sum(-1)
+                .astype(jnp.int32)
+                .reshape(-1)
+            )
             upd["sc_lk"] = jnp.where(valid, lk, -1)
     elif mc.sc_lij.size > 1:
         if sc_pack == "p3":

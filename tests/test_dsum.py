@@ -49,20 +49,25 @@ def test_default_config_chi2_parity():
         ba = synthetic.build_graph(prob)
         ba.initialize()
         assert str(ba._engine.chi_dtype) == "float32"
+        ref = ReferenceSolver(RefProblem.from_structure(ba._engine.structure, ba._kernels))
+        # the truly state-independent comparison: chi at the INITIAL
+        # estimate, fp32 per-edge compute + dsum fp64-grade accumulation
+        # vs the fp64 NumPy sum — this is the accumulation-semantics bar
+        # (every batch_statistics chi is AFTER that iteration's solve, so
+        # it inherits fp32 *state* drift from the step, not just sum error)
+        eng = ba._engine
+        chi0_tpu = float(eng._residuals_and_chi(eng.state, eng.consts)[-1])
+        chi0_ref = float(ref.chi2())
         ba.optimize(6)
         chis_tpu = np.array([s.chi2 for s in ba.batch_statistics()])
-        ref = ReferenceSolver(RefProblem.from_structure(ba._engine.structure, ba._kernels))
         chis_ref = np.array(ref.optimize(6))
     finally:
         jax.config.update("jax_enable_x64", True)
 
+    assert abs(chi0_tpu - chi0_ref) / abs(chi0_ref) < 1e-6, (chi0_tpu, chi0_ref)
     n = min(len(chis_tpu), len(chis_ref))
     assert n >= 4
-    # fp32 compute dtype bounds how closely the *states* track the fp64
-    # reference after several iterations; chi2 itself is accumulated
-    # fp64-grade.  Iteration 1's chi is state-independent (same starting
-    # point) and must hit the tight bar; later iterations drift with the
-    # fp32 state but stay parity-grade.
+    # post-solve chis drift with the fp32 state (one fp32 reduced solve
+    # perturbs the iterate at ~1e-6 rel) but stay parity-grade
     rel = np.abs(chis_tpu[:n] - chis_ref[:n]) / np.abs(chis_ref[:n])
-    assert rel[0] < 1e-6, (chis_tpu[0], chis_ref[0])
-    assert np.all(rel[1:3] < 1e-4), list(zip(chis_tpu[:n], chis_ref[:n]))
+    assert np.all(rel[:3] < 1e-4), list(zip(chis_tpu[:n], chis_ref[:n]))
