@@ -438,11 +438,15 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                         "sc_lk": dummy}
     # CUBA_TPU_SC_PACK caps the wire mode ("p3" ships the packed triplet
     # stream, "dv" derives li/lj only, "dv2" additionally derives lk + the
-    # formation tables).  Measurement knob + escape hatch: the device-side
-    # enumeration costs real dispatch time (docs/PERF_NOTES.md round 4).
+    # formation tables).  Measurement knob + escape hatch.  Same-session
+    # A/B at kitti00-loop scale (docs/PERF_NOTES.md round 4): dv2 with the
+    # compare-sum lk derivation = 0.800 s ctor+optimize(10) at 10.1 MB
+    # wire vs dv 0.816 s at 14.0 MB — dv2 wins and degrades less on slow
+    # tunnels, so it is the default; the earlier searchsorted-based lk
+    # (0.59 s of derive dispatch) is what made dv2 a 10x loss before.
     import os
 
-    cap = os.environ.get("CUBA_TPU_SC_PACK", "dv")
+    cap = os.environ.get("CUBA_TPU_SC_PACK", "dv2")
     if cap in ("p3", "none"):
         col = None
     if cap != "dv2":
