@@ -689,7 +689,8 @@ void ba_delta_probe(const int32_t* x, int64_t n, int64_t chunk,
 // ~3.6M triplets cost ~0.15s of serial ctor time at kitti00 scale).  The
 // canonical order is: for slot s = 0..n_hpl-1 (landmark-major), j from s to
 // the end of s's landmark run.  li/lj are chunk-local ids (li[t] + sb[t /
-// chunk] * slot_block = global slot); padding (-1) must be tail-only.
+// chunk] * slot_block = global slot); padding (-1) must sit at chunk TAILS
+// (re-chunked plans pad per chunk; dense plans only the last chunk).
 // Returns the valid triplet count, or -1 if non-canonical.
 int64_t ba_canonical_ntri(const int32_t* li, const int32_t* lj,
                           const int32_t* sb, int64_t C, int32_t chunk,
@@ -707,20 +708,24 @@ int64_t ba_canonical_ntri(const int32_t* li, const int32_t* lj,
   }
   const int64_t total = C * chunk;
   int64_t s = 0, jj = 0;
-  int64_t n_tri = -1;
+  int64_t n_tri = 0;
   for (int64_t t = 0; t < total; ++t) {
     const int32_t a = li[t];
-    if (a < 0) {  // padding starts: must be tail-only
-      n_tri = t;
-      for (int64_t u = t; u < total; ++u)
+    if (a < 0) {
+      // padding must extend to this chunk's end: re-chunked plans
+      // (landmark-granular chunking for tighter slot windows) pad each
+      // chunk's tail; densely packed plans only the last chunk's
+      const int64_t ce = (t / chunk + 1) * chunk;
+      for (int64_t u = t; u < ce; ++u)
         if (li[u] >= 0) return -1;
-      break;
+      t = ce - 1;
+      continue;
     }
     const int64_t base = static_cast<int64_t>(sb[t / chunk]) * slot_block;
     if (a + base != s || static_cast<int64_t>(lj[t]) + base != jj) return -1;
+    ++n_tri;
     if (++jj == ends[s]) { ++s; jj = s; }
   }
-  if (n_tri < 0) n_tri = total;
   // complete enumeration: every slot's run consumed exactly
   if (s != n_hpl || n_tri < 2) return -1;
   return n_tri;

@@ -586,7 +586,7 @@ class BlockSolverEngine:
                 "measT_m", "measT_s", "omegaT_m", "omegaT_s",
                 "e2h_m", "e2h_s", "hpl_row", "hpl_col",
                 "pose_gid_m", "pose_gid_s",
-                "sc_lij", "sc_lk", "hsc_key", "sc_gid",
+                "sc_lij", "sc_lk", "hsc_key", "sc_gid", "sc_t0",
             ):
                 r = eref(name, getattr(mxu_consts, name))
                 if r is not None:

@@ -194,6 +194,13 @@ class MXUConsts(NamedTuple):
     exc_i_s: jnp.ndarray = np.zeros(1, np.int32)
     exc_p_s: jnp.ndarray = np.zeros(1, np.int32)
     exc_l_s: jnp.ndarray = np.zeros(1, np.int32)
+    # dv/dv2 wire mode: per-chunk canonical triplet offsets ([C+1] int32,
+    # t0[c] = count of valid triplets before chunk c).  Lets derive_consts
+    # rebuild li/lj/lk for RE-CHUNKED plans (landmark-granular padding at
+    # chunk tails — tighter slot windows at loop-closure covisibility)
+    # where padded position != canonical position.  ~8 KB at kitti00 scale;
+    # a 1-element dummy means the plan is densely packed (trivial t0)
+    sc_t0: jnp.ndarray = np.zeros(1, np.int32)
 
 
 @dataclasses.dataclass
@@ -295,9 +302,19 @@ def plan_schur_for(s: BAStructure):
     pass precomputed it (structure.schur_native), so the engine can build
     the Schur id tables BEFORE plan_mxu and ship them in the early blob.
     ``col`` enables the landmark-granular re-chunk fallback when the dense
-    packing violates the slot window (loop-closure covisibility)."""
+    packing violates the slot window (loop-closure covisibility).
+
+    CUBA_TPU_SC_CHUNK / CUBA_TPU_SC_SB override the chunk capacity and the
+    slot-block width (measurement knobs; non-default values skip the
+    precomputed C++ plan, which is baked at 1024/512, and re-plan via the
+    standalone C++ planner)."""
+    import os
+
+    chunk = int(os.environ.get("CUBA_TPU_SC_CHUNK", "1024"))
+    sb = int(os.environ.get("CUBA_TPU_SC_SB", "512"))
     return segmm.plan_schur(
         s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc,
+        chunk=chunk, slot_block=sb,
         precomputed=s.schur_native, col=s.hpl_col,
     )
 
@@ -330,9 +347,12 @@ def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
     rebuilds them on device from hpl_col (sum over slots of one scatter +
     cumsum + inverse-triangular index math), saving ~6 MB at kitti00 scale.
 
-    The check is complete: mi must walk every slot 0..n_hpl-1 once in
-    order, each slot's run length must equal (landmark end - slot), and mj
-    must count i..i+len-1 within the run.  Both triplet generators emit
+    The check is complete: the padding-compressed mi must walk every slot
+    0..n_hpl-1 once in order, each slot's run length must equal (landmark
+    end - slot), and mj must count i..i+len-1 within the run.  Padding
+    (-1) is accepted as per-chunk TAILS (landmark-granular re-chunked
+    plans), not just a global tail — the device derivation handles the
+    position shift via the shipped per-chunk offsets (MXUConsts.sc_t0).  Both triplet generators emit
     this order by construction (native/symbolic.cpp:236-265, structure.
     _pair_expand) and plan_schur's stable sort by mul_i is an identity on
     it — but the check IS on the ctor path, so it dispatches to one C++
@@ -351,11 +371,14 @@ def _canonical_schur_ntri(sc, col: np.ndarray) -> int:
     valid = li >= 0
     n_tri = int(valid.sum())
     n_hpl = int(col.size)
-    if n_tri < 2 or not valid[:n_tri].all():
-        return -1  # padding must be tail-only
+    if n_tri < 2:
+        return -1
+    v2 = valid.reshape(sc.num_chunks, sc.chunk)
+    if not bool(np.all(v2[:, 1:] <= v2[:, :-1])):
+        return -1  # padding must be a per-chunk tail (re-chunked plans)
     base = np.repeat(np.asarray(sc.sb, np.int64) * sc.slot_block, sc.chunk)
-    mi = li[:n_tri] + base[:n_tri]
-    mj = lj[:n_tri] + base[:n_tri]
+    mi = li[valid] + base[valid]
+    mj = lj[valid] + base[valid]
     di = np.diff(mi)
     dj = np.diff(mj)
     if not bool(np.all(((di == 0) & (dj == 1)) | ((di > 0) & (mj[1:] == mi[1:])))):
@@ -461,6 +484,18 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
     if col is not None and li32.size:
         n_tri = _canonical_schur_ntri(sc, np.asarray(col, np.int64))
         if n_tri > 0:
+            # per-chunk canonical offsets: the device derivation needs them
+            # when the plan is re-chunked (padding at chunk tails shifts
+            # padded position away from canonical position); trivial for
+            # densely packed plans, where the 1-element dummy ships instead
+            cnt = np.count_nonzero(
+                li32.reshape(sc.num_chunks, sc.chunk) >= 0, axis=1
+            )
+            t0 = np.zeros(sc.num_chunks + 1, np.int32)
+            t0[1:] = np.cumsum(cnt).astype(np.int32)
+            dense = bool(np.all(t0[: sc.num_chunks] ==
+                                np.arange(sc.num_chunks) * sc.chunk))
+            t0_ship = {} if dense else {"sc_t0": t0}
             def narrow16(a):
                 a = np.asarray(a)
                 if a.size == 0 or (a.min() >= -32768 and a.max() <= 32767):
@@ -490,11 +525,13 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
                 out = "dv2", {
                     "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
                     "sc_lk": dummy, "hsc_key": key, "sc_ntri": n_tri,
+                    **t0_ship,
                 }
             else:
                 out = "dv", {
                     "sc_lij": dummy, "sc_li": dummy, "sc_lj": dummy,
                     "sc_lk": narrow16(lk32), "sc_ntri": n_tri,
+                    **t0_ship,
                 }
             _PACK_SCHUR_CACHE[0] = ckey
             _PACK_SCHUR_CACHE[1] = out
@@ -589,6 +626,8 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
             out["sc_lij"] = (ids["sc_lij"], 0)
         if ids["sc_lk"].size > 1:
             out["sc_lk"] = (ids["sc_lk"], 0)
+        if "sc_t0" in ids:
+            out["sc_t0"] = (ids["sc_t0"], 0)
         if "hsc_key" in ids:
             out["hsc_key"] = (ids["hsc_key"], int(_HSC_KEY_PAD))
             # dv2 predicted -> the v2 formation tables will be derived from
@@ -901,6 +940,7 @@ def plan_mxu(
         sc_lj = _scids["sc_lj"]
         sc_lk_c = _scids["sc_lk"]
         hsc_key_c = _scids.get("hsc_key", dummy)
+        sc_t0_c = _scids.get("sc_t0", dummy)
     else:
         # expanded local-id streams: nothing to unpack on device
         plans.sc_pack, plans.sc_ntri = "none", 0
@@ -909,6 +949,7 @@ def plan_mxu(
         sc_lj = np.asarray(sc.lj, i32) if sc is not None else dummy
         sc_lk_c = np.asarray(sc.lk, i32) if sc is not None else dummy
         hsc_key_c = dummy
+        sc_t0_c = dummy
     dv2 = plans.sc_pack == "dv2"
     if rows_ok:
         fl = rows_float_arrays(s, e_pad_m, e_pad_s)
@@ -1039,6 +1080,7 @@ def plan_mxu(
         sc_lk=sc_lk_c,
         sc_lij=sc_lij,
         hsc_key=hsc_key_c,
+        sc_t0=sc_t0_c,
         wb_paw_m=np.asarray(paw_m.wb, i32) if paw_m.ok else dummy,
         wb_paw_s=np.asarray(paw_s.wb, i32) if paw_s.ok else dummy,
         wb_paw_b=np.asarray(paw_b.wb, i32) if paw_b.ok else dummy,
@@ -1129,17 +1171,35 @@ def derive_consts(
         Tl = nl * (nl + 1) // 2
         cumT = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(Tl)])
         n_pad = C * chunk
-        t = jnp.arange(n_pad, dtype=jnp.int32)
-        # triplet -> landmark: inclusive cumsum over boundary marks.
+        # per-chunk canonical offsets: shipped (sc_t0) for re-chunked plans
+        # whose padding sits at chunk tails; densely packed plans derive the
+        # trivial arange and pc == t
+        if mc.sc_t0.size == C + 1:
+            t0 = mc.sc_t0.astype(jnp.int32)
+        else:
+            t0 = jnp.arange(C + 1, dtype=jnp.int32) * chunk
+        r = jnp.arange(chunk, dtype=jnp.int32)
+        pc = (t0[:C, None] + r[None, :]).reshape(-1)  # canonical position
+        valid = (
+            (r[None, :] < (t0[1:] - t0[:C])[:, None]).reshape(-1)
+            & (pc < n_tri)
+        )
+        # triplet -> landmark: inclusive cumsum over boundary marks placed
+        # at the PADDED position of each landmark's canonical boundary
+        # (mapped through t0 with one tiny [num_l]-query searchsorted).
         # (A searchsorted(cumT, t) computes the same thing but measured 3x
         # SLOWER — log(L) sequential 1.95M-query gather passes lose to one
         # device cumsum.  Same reason dv2's lk searchsorted cost ~0.5 s.)
-        marks = jnp.zeros(n_pad + 1, jnp.int32).at[
-            jnp.minimum(cumT[1:], n_pad)
-        ].add(1)
+        q = jnp.minimum(cumT[1:], t0[C])
+        cq = jnp.clip(
+            jnp.searchsorted(t0, q, side="right").astype(jnp.int32) - 1,
+            0, C - 1,
+        )
+        bpos = jnp.minimum(cq * chunk + (q - t0[cq]), n_pad)
+        marks = jnp.zeros(n_pad + 1, jnp.int32).at[bpos].add(1)
         lm = jnp.cumsum(marks)[:n_pad]
         lm_c = jnp.minimum(lm, num_l - 1)
-        p = t - cumT[lm_c]
+        p = pc - cumT[lm_c]
         n = nl[lm_c]
         # invert off(i) = i*n - i*(i-1)/2 <= p: fp32 sqrt + exact fix-up
         nf = n.astype(jnp.float32)
@@ -1159,7 +1219,6 @@ def derive_consts(
         base = jnp.broadcast_to(
             mc.sc_sb[:, None] * slot_block, (C, chunk)
         ).reshape(-1)
-        valid = t < n_tri
         gi = start[lm_c] + i0  # global Hpl slot of the W operand
         gj = start[lm_c] + j0
         upd["sc_li"] = jnp.where(valid, gi - base, -1)

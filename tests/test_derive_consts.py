@@ -111,6 +111,24 @@ def test_gidr_derivation_matches_host():
         np.testing.assert_array_equal(np.asarray(getattr(out, name)), ref)
 
 
+@pytest.mark.parametrize("pack", ["dv", "dv2"])
+def test_rechunked_plan_derivation_exact(pack, monkeypatch):
+    """A landmark-granular RE-CHUNKED plan (tight slot windows pad chunk
+    tails, so padded position != canonical position) must still derive
+    li/lj (and lk under dv2) exactly — the shipped per-chunk offsets
+    MXUConsts.sc_t0 carry the position shift."""
+    monkeypatch.setenv("CUBA_TPU_SC_SB", "64")  # force re-chunk
+    monkeypatch.setenv("CUBA_TPU_SC_PACK", pack)
+    s = _structure(loop=True, seed=2)
+    sc = mxu.plan_schur_for(s)
+    li2 = np.asarray(sc.li).reshape(sc.num_chunks, sc.chunk)
+    assert bool(np.any((li2 < 0)[:-1].sum(1) > 0)), "re-chunk did not pad"
+    plans, consts, out = _derived(s)
+    assert plans.sc_pack == pack
+    assert consts.sc_t0.size == plans.schur.num_chunks + 1
+    _assert_schur_ids_exact(plans, out, check_lk=(pack == "dv2"))
+
+
 def test_canonicity_check_rejects_reordered_streams():
     """A non-canonical triplet order must fall back to a packed wire mode
     (the derivation would silently rebuild the wrong ids otherwise)."""
