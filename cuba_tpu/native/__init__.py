@@ -48,7 +48,10 @@ def _build() -> bool:
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.ba_symbolic_compile.restype = ctypes.c_void_p
-    lib.ba_symbolic_compile.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.ba_symbolic_compile.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
     for name in ("ba_n_hpl", "ba_n_hsc", "ba_n_mul"):
         getattr(lib, name).restype = ctypes.c_int64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -116,14 +119,17 @@ def _bind_fsp(lib: ctypes.CDLL) -> None:
     lib.ba_fsp_copy.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p]
 
 
-def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int):
+def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int,
+                     sc_geom: tuple = (1024, 512, 1024)):
     """Run the C++ symbolic pass.  Returns the same tuple as the NumPy path:
     (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
     schur_plan) — or None when the native library is
     unavailable.  ``schur_plan`` is the fused Schur chunk plan
-    (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) computed in
-    the same C++ pass (chunk=1024, slot_block=512, max_kwin=1024), or None
-    on a stale library without the fused getters.
+    ((chunk, slot_block, max_kwin), kwin, ok, C, n_slot_pad, n_hsc_pad,
+    sb, li, lj, lk, gid) computed in the same C++ pass at the requested
+    geometry ``sc_geom`` (self-describing: segmm.plan_schur consumes it
+    only when the session geometry matches), or None on a stale library
+    without the fused getters.
     """
     lib = get_lib()
     if lib is None:
@@ -135,7 +141,9 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
     def ptr(a):
         return a.ctypes.data_as(i32p)
 
-    h = lib.ba_symbolic_compile(ptr(e_pi), ptr(e_li), e_pi.size, int(num_p), int(num_l))
+    sp_chunk, sp_sb, sp_mk = (int(v) for v in sc_geom)
+    h = lib.ba_symbolic_compile(ptr(e_pi), ptr(e_li), e_pi.size, int(num_p), int(num_l),
+                                sp_chunk, sp_sb, sp_mk)
     try:
         n_hpl = lib.ba_n_hpl(h)
         n_hsc = lib.ba_n_hsc(h)
@@ -162,12 +170,13 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int)
             n_slot_pad = lib.ba_fsp_slot_pad(h)
             n_hsc_pad = lib.ba_fsp_hsc_pad(h)
             sb = np.empty(C, np.int32)
-            li = np.empty(C * 1024, np.int32)
-            lj = np.empty(C * 1024, np.int32)
-            lk = np.empty(C * 1024, np.int32)
+            li = np.empty(C * sp_chunk, np.int32)
+            lj = np.empty(C * sp_chunk, np.int32)
+            lk = np.empty(C * sp_chunk, np.int32)
             gid = np.empty(C * kwin, np.int32)
             lib.ba_fsp_copy(h, ptr(sb), ptr(li), ptr(lj), ptr(lk), ptr(gid))
-            schur_plan = (kwin, ok, int(C), int(n_slot_pad), int(n_hsc_pad),
+            schur_plan = ((sp_chunk, sp_sb, sp_mk),
+                          kwin, ok, int(C), int(n_slot_pad), int(n_hsc_pad),
                           sb, li, lj, lk, gid)
     finally:
         lib.ba_symbolic_free(h)
@@ -299,6 +308,7 @@ def _bind_schur(lib: ctypes.CDLL) -> None:
     lib.ba_schur_plan.argtypes = [
         i32p, i32p, i32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p,
     ]
     for name, rt in (("ba_sp_kwin", ctypes.c_int32), ("ba_sp_ok", ctypes.c_int32),
                      ("ba_sp_chunks", ctypes.c_int64), ("ba_sp_slot_pad", ctypes.c_int64),
@@ -309,10 +319,13 @@ def _bind_schur(lib: ctypes.CDLL) -> None:
     lib.ba_sp_free.argtypes = [ctypes.c_void_p]
 
 
-def schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin):
+def schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin,
+               col=None):
     """C++ Schur chunk planner.  Returns
     (kwin, ok, num_chunks, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) or
-    None when the native library is unavailable."""
+    None when the native library is unavailable.  ``col`` (slot -> landmark)
+    enables the landmark-granular re-chunk when the dense packing violates
+    the slot window (tight slot_block / loop-closure covisibility)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -327,8 +340,13 @@ def schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin):
     mi = np.ascontiguousarray(mul_i, np.int32)
     mj = np.ascontiguousarray(mul_j, np.int32)
     mk = np.ascontiguousarray(mul_k, np.int32)
+    colp = None
+    if col is not None:
+        col = np.ascontiguousarray(col, np.int32)
+        colp = ptr(col)
     h = lib.ba_schur_plan(ptr(mi), ptr(mj), ptr(mk), mi.size,
-                          int(n_hpl), int(n_hsc), int(chunk), int(slot_block), int(max_kwin))
+                          int(n_hpl), int(n_hsc), int(chunk), int(slot_block), int(max_kwin),
+                          colp)
     try:
         kwin = lib.ba_sp_kwin(h)
         ok = bool(lib.ba_sp_ok(h))

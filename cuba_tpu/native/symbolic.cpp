@@ -156,8 +156,225 @@ extern "C" {
 //                 both endpoints fixed must already be dropped.
 //   num_p / num_l : counts of ACTIVE poses / landmarks.
 // Returns an opaque handle (never null) — query sizes, copy, then free.
+}  // extern "C" — internal helpers below, reopened after
+
+// ---------------------------------------------------------------------------
+// Shared fused-Schur chunk planning core (ops/segmm.py::plan_schur twin).
+// Inputs are the landmark-major (canonically sorted) triplet streams.  When
+// the dense chunk packing violates the 2-block slot window and ``col``
+// (slot -> landmark) is given, the triplets are RE-CHUNKED at landmark
+// granularity — each chunk's tail padded — so tighter slot_block values
+// stay feasible under loop-closure covisibility (twin:
+// ops/segmm.py::_chunk_by_landmark).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SchurPlanCore {
+  int32_t kwin = 0;
+  int32_t ok = 1;
+  int64_t chunks = 0;
+  int64_t slot_pad = 0;
+  int64_t hsc_pad = 0;
+  std::vector<int32_t> sb;   // [C]
+  std::vector<int32_t> li;   // [C*chunk]
+  std::vector<int32_t> lj;   // [C*chunk]
+  std::vector<int32_t> lk;   // [C*chunk]
+  std::vector<int32_t> gid;  // [C*kwin]
+};
+
+// Greedy landmark-granular chunk ranges: close a chunk early when adding
+// the next landmark's triplets would overflow the chunk capacity or push
+// the merged slot window past 2*slot_block.  Returns false when a single
+// landmark alone cannot fit (dense packing is the only option); else
+// fills per-chunk source ranges [cb[c], cb[c]+cc[c]).
+bool chunk_ranges_by_landmark(const int32_t* mi, const int32_t* mj,
+                              int64_t n_mul, const int32_t* col,
+                              int64_t chunk, int64_t slot_block,
+                              std::vector<int64_t>& cb,
+                              std::vector<int64_t>& cc) {
+  cb.clear();
+  cc.clear();
+  if (n_mul == 0) return false;
+  const int64_t win = 2 * slot_block;
+  int64_t run_b = 0, cur_n = 0, cur_lo = 0, cur_hi = -1, chunk_b = 0;
+  while (run_b < n_mul) {
+    const int32_t lm = col[mi[run_b]];
+    int64_t run_e = run_b;
+    int64_t lo = std::numeric_limits<int64_t>::max(), hi = -1;
+    while (run_e < n_mul && col[mi[run_e]] == lm) {
+      lo = std::min<int64_t>(lo, std::min(mi[run_e], mj[run_e]));
+      hi = std::max<int64_t>(hi, std::max(mi[run_e], mj[run_e]));
+      ++run_e;
+    }
+    const int64_t c_ = run_e - run_b;
+    if (c_ > chunk || hi - lo >= win) return false;
+    if (cur_n) {
+      const int64_t nlo = std::min(cur_lo, lo), nhi = std::max(cur_hi, hi);
+      if (cur_n + c_ > chunk ||
+          nhi >= (nlo / slot_block) * slot_block + win) {
+        cb.push_back(chunk_b);
+        cc.push_back(cur_n);
+        chunk_b += cur_n;
+        cur_n = 0;
+      }
+    }
+    if (cur_n == 0) {
+      cur_lo = lo;
+      cur_hi = hi;
+    } else {
+      cur_lo = std::min(cur_lo, lo);
+      cur_hi = std::max(cur_hi, hi);
+    }
+    cur_n += c_;
+    run_b = run_e;
+  }
+  cb.push_back(chunk_b);
+  cc.push_back(cur_n);
+  return true;
+}
+
+void plan_schur_core(const int32_t* mi, const int32_t* mj, const int32_t* mk,
+                     int64_t n_mul, int64_t n_hpl, int64_t n_hsc,
+                     int64_t chunk, int64_t slot_block, int64_t max_kwin,
+                     const int32_t* col, SchurPlanCore* res) {
+  // source ranges: dense strides unless the dense packing violates the
+  // window and a landmark-granular re-chunk is possible
+  std::vector<int64_t> cb, cc;
+  int64_t C = std::max<int64_t>((n_mul + chunk - 1) / chunk, 1);
+  bool dense_ok = true;
+  for (int64_t c = 0; c < C && dense_ok; ++c) {
+    const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
+    if (b >= e) continue;
+    int64_t smin = std::numeric_limits<int64_t>::max(), smax = -1;
+    for (int64_t t = b; t < e; ++t) {
+      smin = std::min<int64_t>(smin, std::min(mi[t], mj[t]));
+      smax = std::max<int64_t>(smax, std::max(mi[t], mj[t]));
+    }
+    if (smax - (smin / slot_block) * slot_block >= 2 * slot_block)
+      dense_ok = false;
+  }
+  if (dense_ok || col == nullptr ||
+      !chunk_ranges_by_landmark(mi, mj, n_mul, col, chunk, slot_block, cb,
+                                cc)) {
+    cb.resize(C);
+    cc.resize(C);
+    for (int64_t c = 0; c < C; ++c) {
+      cb[c] = c * chunk;
+      cc[c] = std::max<int64_t>(
+          0, std::min<int64_t>(chunk, n_mul - c * chunk));
+    }
+  } else {
+    C = static_cast<int64_t>(cb.size());
+  }
+  res->chunks = C;
+  res->sb.resize(C);
+  res->li.assign(C * chunk, -1);
+  res->lj.assign(C * chunk, -1);
+  res->lk.assign(C * chunk, -1);
+  // pass 1: per-chunk slot windows + distinct-k counts (k ranges)
+  std::vector<int64_t> kmin_c(C, 0);
+  int64_t max_sb = 0, max_distinct = 1;
+  std::vector<int32_t> mark;  // dense k-range scratch, reset per chunk
+  std::vector<int32_t> kbuf;  // sort fallback scratch
+  for (int64_t c = 0; c < C; ++c) {
+    const int64_t b = cb[c], e = cb[c] + cc[c];
+    int64_t smin = 0, smax = 0, kmin = 0, kmax = -1;
+    if (b < e) {
+      smin = std::numeric_limits<int64_t>::max();
+      smax = -1;
+      kmin = std::numeric_limits<int64_t>::max();
+      for (int64_t t = b; t < e; ++t) {
+        smin = std::min<int64_t>(smin, std::min(mi[t], mj[t]));
+        smax = std::max<int64_t>(smax, std::max(mi[t], mj[t]));
+        kmin = std::min<int64_t>(kmin, mk[t]);
+        kmax = std::max<int64_t>(kmax, mk[t]);
+      }
+    }
+    const int64_t sbc = smin / slot_block;
+    res->sb[c] = static_cast<int32_t>(sbc);
+    max_sb = std::max(max_sb, sbc);
+    if (smax - sbc * slot_block >= 2 * slot_block) res->ok = 0;
+    int64_t distinct = 0;
+    if (kmax >= kmin) {
+      const int64_t range = kmax - kmin + 1;
+      if (range <= 65536) {
+        if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
+        std::fill(mark.begin(), mark.begin() + range, 0);
+        for (int64_t t = b; t < e; ++t) mark[mk[t] - kmin] = 1;
+        for (int64_t r = 0; r < range; ++r) distinct += mark[r];
+      } else {
+        kbuf.assign(mk + b, mk + e);
+        std::sort(kbuf.begin(), kbuf.end());
+        distinct = std::unique(kbuf.begin(), kbuf.end()) - kbuf.begin();
+      }
+    }
+    kmin_c[c] = kmin;
+    max_distinct = std::max(max_distinct, distinct);
+  }
+  int64_t kwin = std::min<int64_t>(
+      max_kwin, std::max<int64_t>(round_up_i64(max_distinct, 128), 128));
+  if (max_distinct > kwin) res->ok = 0;
+  res->kwin = static_cast<int32_t>(kwin);
+  res->gid.assign(C * kwin, -1);
+  // pass 2: gid tables (ascending distinct ks) + local ids
+  for (int64_t c = 0; c < C; ++c) {
+    const int64_t b = cb[c], e = cb[c] + cc[c];
+    if (b >= e) continue;
+    const int64_t base = static_cast<int64_t>(res->sb[c]) * slot_block;
+    const int64_t kmin = kmin_c[c];
+    int64_t kmax = 0;
+    for (int64_t t = b; t < e; ++t)
+      kmax = std::max<int64_t>(kmax, mk[t]);
+    const int64_t range = kmax - kmin + 1;
+    if (range <= 65536 && res->ok) {
+      if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
+      std::fill(mark.begin(), mark.begin() + range, -1);
+      for (int64_t t = b; t < e; ++t) mark[mk[t] - kmin] = 0;
+      int32_t rank = 0;
+      for (int64_t r = 0; r < range; ++r) {
+        if (mark[r] == 0) {
+          mark[r] = rank;
+          if (rank < kwin)
+            res->gid[c * kwin + rank] = static_cast<int32_t>(kmin + r);
+          ++rank;
+        }
+      }
+      for (int64_t t = b; t < e; ++t) {
+        res->li[c * chunk + (t - b)] = static_cast<int32_t>(mi[t] - base);
+        res->lj[c * chunk + (t - b)] = static_cast<int32_t>(mj[t] - base);
+        res->lk[c * chunk + (t - b)] = mark[mk[t] - kmin];
+      }
+    } else {
+      kbuf.assign(mk + b, mk + e);
+      std::sort(kbuf.begin(), kbuf.end());
+      kbuf.erase(std::unique(kbuf.begin(), kbuf.end()), kbuf.end());
+      for (size_t r = 0; r < kbuf.size() && static_cast<int64_t>(r) < kwin;
+           ++r)
+        res->gid[c * kwin + r] = kbuf[r];
+      for (int64_t t = b; t < e; ++t) {
+        const auto it = std::lower_bound(kbuf.begin(), kbuf.end(), mk[t]);
+        res->li[c * chunk + (t - b)] = static_cast<int32_t>(mi[t] - base);
+        res->lj[c * chunk + (t - b)] = static_cast<int32_t>(mj[t] - base);
+        res->lk[c * chunk + (t - b)] =
+            static_cast<int32_t>(it - kbuf.begin());
+      }
+    }
+  }
+  res->slot_pad =
+      std::max((max_sb + 2) * slot_block,
+               round_up_i64(std::max<int64_t>(n_hpl, 1), slot_block));
+  res->hsc_pad = round_up_i64(std::max<int64_t>(n_hsc, 1), 128);
+}
+
+}  // namespace
+
+extern "C" {
+
 void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
-                          int64_t n_edges, int32_t num_p, int32_t num_l) {
+                          int64_t n_edges, int32_t num_p, int32_t num_l,
+                          int32_t sp_chunk, int32_t sp_slot_block,
+                          int32_t sp_max_kwin) {
   auto* res = new SymbolicResult();
 
   // --- deduplicated free-pair slots, sorted by (landmark, pose) ----------
@@ -262,106 +479,24 @@ void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
   }
 
   // --- fused Schur chunk plan (triplets already landmark-major) ----------
+  // geometry comes from the caller (the session's plan geometry); the core
+  // re-chunks at landmark granularity when tight slot windows make the
+  // dense packing infeasible
   {
-    const int64_t chunk = 1024, slot_block = 512, max_kwin = 1024;
-    const int64_t n_mul = n_pairs;
-    const int64_t C = std::max<int64_t>((n_mul + chunk - 1) / chunk, 1);
-    res->sp_chunks = C;
-    res->sp_sb.resize(C);
-    res->sp_li.assign(C * chunk, -1);
-    res->sp_lj.assign(C * chunk, -1);
-    res->sp_lk.assign(C * chunk, -1);
-    // pass 1: per-chunk slot windows + distinct-k counts (k ranges)
-    std::vector<int64_t> kmin_c(C, 0), kcnt_c(C, 0);
-    int64_t max_sb = 0, max_distinct = 1;
-    std::vector<int32_t> mark;  // dense k-range scratch, reset per chunk
-    std::vector<int32_t> kbuf;  // sort fallback scratch
-    for (int64_t c = 0; c < C; ++c) {
-      const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
-      int64_t smin = 0, smax = 0, kmin = 0, kmax = -1;
-      if (b < e) {
-        smin = res->mul_i[b];   // mul_i <= mul_j and mul_i non-decreasing
-        smax = 0;
-        kmin = std::numeric_limits<int64_t>::max();
-        for (int64_t t = b; t < e; ++t) {
-          smax = std::max<int64_t>(smax, res->mul_j[t]);
-          kmin = std::min<int64_t>(kmin, res->mul_k[t]);
-          kmax = std::max<int64_t>(kmax, res->mul_k[t]);
-        }
-      }
-      const int64_t sbc = smin / slot_block;
-      res->sp_sb[c] = static_cast<int32_t>(sbc);
-      max_sb = std::max(max_sb, sbc);
-      if (smax - sbc * slot_block >= 2 * slot_block) res->sp_ok = 0;
-      int64_t distinct = 0;
-      if (kmax >= kmin) {
-        const int64_t range = kmax - kmin + 1;
-        if (range <= 65536) {
-          if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
-          std::fill(mark.begin(), mark.begin() + range, 0);
-          for (int64_t t = b; t < e; ++t) mark[res->mul_k[t] - kmin] = 1;
-          for (int64_t r = 0; r < range; ++r) distinct += mark[r];
-        } else {
-          kbuf.assign(res->mul_k.begin() + b, res->mul_k.begin() + e);
-          std::sort(kbuf.begin(), kbuf.end());
-          distinct = std::unique(kbuf.begin(), kbuf.end()) - kbuf.begin();
-        }
-      }
-      kmin_c[c] = kmin;
-      kcnt_c[c] = distinct;
-      max_distinct = std::max(max_distinct, distinct);
-    }
-    int64_t kwin = std::min<int64_t>(
-        max_kwin, std::max<int64_t>(round_up_i64(max_distinct, 128), 128));
-    if (max_distinct > kwin) res->sp_ok = 0;
-    res->sp_kwin = static_cast<int32_t>(kwin);
-    res->sp_gid.assign(C * kwin, -1);
-    // pass 2: gid tables (ascending distinct ks) + local ids
-    for (int64_t c = 0; c < C; ++c) {
-      const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
-      if (b >= e) continue;
-      const int64_t base = static_cast<int64_t>(res->sp_sb[c]) * slot_block;
-      const int64_t kmin = kmin_c[c];
-      int64_t kmax = 0;
-      for (int64_t t = b; t < e; ++t)
-        kmax = std::max<int64_t>(kmax, res->mul_k[t]);
-      const int64_t range = kmax - kmin + 1;
-      if (range <= 65536 && res->sp_ok) {
-        if (static_cast<int64_t>(mark.size()) < range) mark.resize(range);
-        std::fill(mark.begin(), mark.begin() + range, -1);
-        for (int64_t t = b; t < e; ++t) mark[res->mul_k[t] - kmin] = 0;
-        int32_t rank = 0;
-        for (int64_t r = 0; r < range; ++r) {
-          if (mark[r] == 0) {
-            mark[r] = rank;
-            if (rank < kwin)
-              res->sp_gid[c * kwin + rank] = static_cast<int32_t>(kmin + r);
-            ++rank;
-          }
-        }
-        for (int64_t t = b; t < e; ++t) {
-          res->sp_li[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_i[t] - base);
-          res->sp_lj[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_j[t] - base);
-          res->sp_lk[c * chunk + (t - b)] = mark[res->mul_k[t] - kmin];
-        }
-      } else {
-        kbuf.assign(res->mul_k.begin() + b, res->mul_k.begin() + e);
-        std::sort(kbuf.begin(), kbuf.end());
-        kbuf.erase(std::unique(kbuf.begin(), kbuf.end()), kbuf.end());
-        for (size_t r = 0; r < kbuf.size() && static_cast<int64_t>(r) < kwin; ++r)
-          res->sp_gid[c * kwin + r] = kbuf[r];
-        for (int64_t t = b; t < e; ++t) {
-          const auto it = std::lower_bound(kbuf.begin(), kbuf.end(), res->mul_k[t]);
-          res->sp_li[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_i[t] - base);
-          res->sp_lj[c * chunk + (t - b)] = static_cast<int32_t>(res->mul_j[t] - base);
-          res->sp_lk[c * chunk + (t - b)] = static_cast<int32_t>(it - kbuf.begin());
-        }
-      }
-    }
-    res->sp_slot_pad = std::max(
-        (max_sb + 2) * slot_block,
-        round_up_i64(std::max<int64_t>(n_hpl, 1), slot_block));
-    res->sp_hsc_pad = round_up_i64(std::max<int64_t>(n_hsc, 1), 128);
+    SchurPlanCore core;
+    plan_schur_core(res->mul_i.data(), res->mul_j.data(), res->mul_k.data(),
+                    n_pairs, n_hpl, n_hsc, sp_chunk, sp_slot_block,
+                    sp_max_kwin, res->hpl_col.data(), &core);
+    res->sp_kwin = core.kwin;
+    res->sp_ok = core.ok;
+    res->sp_chunks = core.chunks;
+    res->sp_slot_pad = core.slot_pad;
+    res->sp_hsc_pad = core.hsc_pad;
+    res->sp_sb = std::move(core.sb);
+    res->sp_li = std::move(core.li);
+    res->sp_lj = std::move(core.lj);
+    res->sp_lk = std::move(core.lk);
+    res->sp_gid = std::move(core.gid);
   }
 
   return res;
@@ -451,108 +586,37 @@ extern "C" {
 void* ba_schur_plan(const int32_t* mul_i, const int32_t* mul_j,
                     const int32_t* mul_k, int64_t n_mul, int32_t n_hpl,
                     int32_t n_hsc, int32_t chunk, int32_t slot_block,
-                    int32_t max_kwin) {
+                    int32_t max_kwin, const int32_t* col) {
   auto* res = new SchurPlanResult();
-  // stable counting sort by mul_i (landmark-major slot order)
+  // stable counting sort by mul_i (landmark-major slot order), then the
+  // shared planning core (which re-chunks at landmark granularity — using
+  // ``col``, nullable — when tight slot windows break the dense packing)
   std::vector<int64_t> cnt(static_cast<size_t>(n_hpl) + 1, 0);
   for (int64_t t = 0; t < n_mul; ++t) cnt[mul_i[t] + 1]++;
   std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
-  std::vector<int64_t> order(n_mul);
+  std::vector<int32_t> smi(n_mul), smj(n_mul), smk(n_mul);
   {
     std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
-    for (int64_t t = 0; t < n_mul; ++t) order[cur[mul_i[t]]++] = t;
-  }
-  const int64_t C = std::max<int64_t>((n_mul + chunk - 1) / chunk, 1);
-  res->num_chunks = C;
-  res->sb.resize(C);
-  res->li.assign(C * chunk, -1);
-  res->lj.assign(C * chunk, -1);
-  res->lk.assign(C * chunk, -1);
-
-  // pass 1: per-chunk slot windows
-  int64_t max_sb = 0;
-  for (int64_t c = 0; c < C; ++c) {
-    const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
-    int64_t smin = 0, smax = 0;
-    if (b < e) {
-      smin = std::numeric_limits<int64_t>::max();
-      smax = -1;
-      for (int64_t t = b; t < e; ++t) {
-        const int64_t o = order[t];
-        smin = std::min<int64_t>(smin, std::min(mul_i[o], mul_j[o]));
-        smax = std::max<int64_t>(smax, std::max(mul_i[o], mul_j[o]));
-      }
-    }
-    const int64_t sbc = smin / slot_block;
-    res->sb[c] = static_cast<int32_t>(sbc);
-    max_sb = std::max(max_sb, sbc);
-    if (smax - sbc * slot_block >= 2 * slot_block) res->ok = 0;
-  }
-
-  // distinct output blocks per chunk + per-element local rank, via ONE
-  // global radix sort of (chunk, mul_k) keys instead of C per-chunk sorts
-  std::vector<int64_t> keys(n_mul), payload(n_mul);
-  for (int64_t c = 0; c < C; ++c) {
-    const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
-    for (int64_t t = b; t < e; ++t)
-      keys[t] = c * (static_cast<int64_t>(n_hsc) + 1) + mul_k[order[t]];
-    for (int64_t t = b; t < e; ++t) payload[t] = t;
-  }
-  radix_sort_pairs(keys, payload,
-                   C * (static_cast<int64_t>(n_hsc) + 1));
-  std::vector<int32_t> rank_of(n_mul);
-  std::vector<int64_t> distinct_cnt(C, 0);
-  int64_t max_distinct = 1;
-  {
-    int64_t prev_key = -1;
-    int64_t rank = -1;
     for (int64_t t = 0; t < n_mul; ++t) {
-      const int64_t c = keys[t] / (n_hsc + 1);
-      if (keys[t] != prev_key) {
-        if (prev_key >= 0 && prev_key / (n_hsc + 1) != c) rank = -1;
-        prev_key = keys[t];
-        ++rank;
-        distinct_cnt[c] = rank + 1;
-      }
-      rank_of[payload[t]] = static_cast<int32_t>(rank);
-    }
-    for (int64_t c = 0; c < C; ++c)
-      max_distinct = std::max(max_distinct, distinct_cnt[c]);
-  }
-  int64_t kwin = std::min<int64_t>(max_kwin,
-                                   std::max<int64_t>(round_up_i64(max_distinct, 128), 128));
-  if (max_distinct > kwin) res->ok = 0;
-  res->kwin = static_cast<int32_t>(kwin);
-  res->gid.assign(C * kwin, -1);
-
-  // pass 2: local ids + gid tables (sorted-unique blocks per chunk)
-  {
-    int64_t prev_key = -1;
-    int64_t rank = -1;
-    for (int64_t t = 0; t < n_mul; ++t) {
-      const int64_t c = keys[t] / (n_hsc + 1);
-      if (keys[t] != prev_key) {
-        if (prev_key >= 0 && prev_key / (n_hsc + 1) != c) rank = -1;
-        prev_key = keys[t];
-        ++rank;
-        if (rank < kwin)
-          res->gid[c * kwin + rank] = static_cast<int32_t>(keys[t] % (n_hsc + 1));
-      }
+      const int64_t d = cur[mul_i[t]]++;
+      smi[d] = mul_i[t];
+      smj[d] = mul_j[t];
+      smk[d] = mul_k[t];
     }
   }
-  for (int64_t c = 0; c < C; ++c) {
-    const int64_t b = c * chunk, e = std::min<int64_t>(b + chunk, n_mul);
-    const int64_t base = static_cast<int64_t>(res->sb[c]) * slot_block;
-    for (int64_t t = b; t < e; ++t) {
-      const int64_t o = order[t];
-      res->li[c * chunk + (t - b)] = static_cast<int32_t>(mul_i[o] - base);
-      res->lj[c * chunk + (t - b)] = static_cast<int32_t>(mul_j[o] - base);
-      res->lk[c * chunk + (t - b)] = rank_of[t];
-    }
-  }
-  res->n_slot_pad = std::max(
-      (max_sb + 2) * slot_block, round_up_i64(std::max<int64_t>(n_hpl, 1), slot_block));
-  res->n_hsc_pad = round_up_i64(std::max<int64_t>(n_hsc, 1), 128);
+  SchurPlanCore core;
+  plan_schur_core(smi.data(), smj.data(), smk.data(), n_mul, n_hpl, n_hsc,
+                  chunk, slot_block, max_kwin, col, &core);
+  res->kwin = core.kwin;
+  res->ok = core.ok;
+  res->num_chunks = core.chunks;
+  res->n_slot_pad = core.slot_pad;
+  res->n_hsc_pad = core.hsc_pad;
+  res->sb = std::move(core.sb);
+  res->li = std::move(core.li);
+  res->lj = std::move(core.lj);
+  res->lk = std::move(core.lk);
+  res->gid = std::move(core.gid);
   return res;
 }
 

@@ -631,6 +631,24 @@ def _chunk_by_landmark(mi, mj, mk, col, chunk, slot_block):
     return out[0], out[1], out[2], C
 
 
+def sc_geometry() -> tuple:
+    """The session's fused-Schur plan geometry (chunk, slot_block, max_kwin),
+    env-overridable via CUBA_TPU_SC_CHUNK / CUBA_TPU_SC_SB.  One source of
+    truth for the engine (mxu.plan_schur_for) and the C++ symbolic pass
+    (structure.py), so the baked plan always matches what the engine asks
+    for.  slot_block sets the fused kernel's gather window (2*SB lanes per
+    chunk) — the dominant FLOP term; smaller is faster as long as the
+    landmark-granular re-chunk keeps the padding low (kitti00-loop at 256:
+    6.6% padding, schur formation 12.75 -> 11.09 ms/attempt)."""
+    import os
+
+    return (
+        int(os.environ.get("CUBA_TPU_SC_CHUNK", "1024")),
+        int(os.environ.get("CUBA_TPU_SC_SB", "512")),
+        1024,
+    )
+
+
 def plan_schur(
     mul_i: np.ndarray,
     mul_j: np.ndarray,
@@ -665,20 +683,20 @@ def plan_schur(
     disabling the MXU pipeline."""
     from cuba_tpu import native
 
-    if precomputed is not None and (chunk, slot_block, max_kwin) == (1024, 512, 1024):
-        kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = precomputed
-        if ok or col is None:
-            return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
-                             gid, n_slot_pad, n_hsc_pad, ok)
-        # fall through: re-chunk below
+    # the C++ paths re-chunk at landmark granularity internally (the core
+    # receives col), so their result is final — ok=False means genuinely
+    # infeasible.  The precomputed tuple self-describes its geometry.
+    if precomputed is not None and precomputed[0] == (chunk, slot_block, max_kwin):
+        kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = precomputed[1:]
+        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
+                         gid, n_slot_pad, n_hsc_pad, ok)
 
-    nat = native.schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk, slot_block, max_kwin)
+    nat = native.schur_plan(mul_i, mul_j, mul_k, n_hpl, n_hsc, chunk,
+                            slot_block, max_kwin, col=col)
     if nat is not None:
         kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid = nat
-        if ok or col is None:
-            return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
-                             gid, n_slot_pad, n_hsc_pad, ok)
-        # fall through: re-chunk below
+        return SchurPlan(chunk, slot_block, int(kwin), C, sb, li, lj, lk,
+                         gid, n_slot_pad, n_hsc_pad, ok)
 
     n_mul = int(mul_i.size)
     order = np.argsort(mul_i, kind="stable")  # landmark-major slot order

@@ -304,17 +304,14 @@ def plan_schur_for(s: BAStructure):
     ``col`` enables the landmark-granular re-chunk fallback when the dense
     packing violates the slot window (loop-closure covisibility).
 
-    CUBA_TPU_SC_CHUNK / CUBA_TPU_SC_SB override the chunk capacity and the
-    slot-block width (measurement knobs; non-default values skip the
-    precomputed C++ plan, which is baked at 1024/512, and re-plan via the
-    standalone C++ planner)."""
-    import os
-
-    chunk = int(os.environ.get("CUBA_TPU_SC_CHUNK", "1024"))
-    sb = int(os.environ.get("CUBA_TPU_SC_SB", "512"))
+    The plan geometry comes from segmm.sc_geometry() (env-overridable
+    CUBA_TPU_SC_CHUNK / CUBA_TPU_SC_SB) — the same source structure.py
+    hands the C++ symbolic pass, so the precomputed plan normally matches
+    and re-planning never happens on the ctor path."""
+    chunk, sb, mk = segmm.sc_geometry()
     return segmm.plan_schur(
         s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc,
-        chunk=chunk, slot_block=sb,
+        chunk=chunk, slot_block=sb, max_kwin=mk,
         precomputed=s.schur_native, col=s.hpl_col,
     )
 

@@ -88,9 +88,10 @@ class BAStructure:
     # layer updates vertex iP so the public API is unaffected.
     pose_rank: np.ndarray = None  # [num_p] int64
     # fused Schur chunk plan from the C++ symbolic pass (raw tuple:
-    # (kwin, ok, C, n_slot_pad, n_hsc_pad, sb, li, lj, lk, gid) at
-    # chunk=1024/slot_block=512/max_kwin=1024), or None on the NumPy path —
-    # segmm.plan_schur consumes it and skips its own planning pass.
+    # ((chunk, slot_block, max_kwin), kwin, ok, C, n_slot_pad, n_hsc_pad,
+    # sb, li, lj, lk, gid), geometry self-describing = segmm.sc_geometry()
+    # at build time), or None on the NumPy path — segmm.plan_schur consumes
+    # it when the requested geometry matches and skips its own planning.
     schur_native: tuple = None
 
     @property
@@ -498,8 +499,10 @@ def _finish_structure(
     e_li = np.concatenate([mono.lm_idx, stereo.lm_idx])
 
     from cuba_tpu import native
+    from cuba_tpu.ops import segmm
 
-    nat = native.symbolic_compile(e_pi, e_li, num_p, num_l)
+    nat = native.symbolic_compile(e_pi, e_li, num_p, num_l,
+                                  sc_geom=segmm.sc_geometry())
     if nat is not None:
         (hpl_row, hpl_col, edge2hpl, hsc_row, hsc_col, mul_i, mul_j, mul_k,
          schur_native) = nat

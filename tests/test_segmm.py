@@ -190,3 +190,59 @@ class TestSchurPlanNativeParity:
         np.testing.assert_array_equal(cpp.lj, ref.lj)
         np.testing.assert_array_equal(cpp.lk, ref.lk)
         np.testing.assert_array_equal(cpp.gid, ref.gid)
+
+    def test_cpp_rechunk_matches_numpy(self, monkeypatch):
+        """Tight slot windows force the landmark-granular re-chunk: the C++
+        baked plan (ba_symbolic_compile), the standalone C++ planner
+        (ba_schur_plan) and the NumPy _chunk_by_landmark path must agree
+        bit-for-bit."""
+        from cuba_tpu import native
+        from cuba_tpu.io import synthetic
+        from cuba_tpu.solver import mxu
+        from cuba_tpu.solver.structure import build_structure_from_arrays
+
+        if native.get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        monkeypatch.setenv("CUBA_TPU_SC_SB", "64")
+        num_p, num_l = 220, 6000
+        prob = synthetic.generate(
+            num_poses=num_p, num_landmarks=num_l, mean_obs_per_landmark=5.5,
+            stereo_fraction=0.25, seed=2, loop_closure=True,
+        )
+        cams = np.tile(prob.cam, (num_p, 1))
+        fixed_p = np.zeros(num_p, bool)
+        fixed_p[prob.fixed_poses] = True
+        fixed_l = np.zeros(num_l, bool)
+        s = build_structure_from_arrays(
+            prob.qs, prob.ts, cams, prob.Xws, fixed_p, fixed_l,
+            prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
+            prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
+        )
+        assert s.schur_native is not None
+        assert s.schur_native[0] == (1024, 64, 1024)  # self-describing geometry
+        baked = mxu.plan_schur_for(s)
+        standalone = segmm.plan_schur(
+            s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc,
+            chunk=1024, slot_block=64, col=s.hpl_col,
+        )
+        import cuba_tpu.native as nat
+        nat_fn = nat.schur_plan
+        nat.schur_plan = lambda *a, **k: None
+        try:
+            ref = segmm.plan_schur(
+                s.mul_i, s.mul_j, s.mul_k, s.n_hpl, s.n_hsc,
+                chunk=1024, slot_block=64, col=s.hpl_col,
+            )
+        finally:
+            nat.schur_plan = nat_fn
+        # the re-chunk actually happened (interior chunk-tail padding)
+        li2 = np.asarray(ref.li).reshape(ref.num_chunks, ref.chunk)
+        assert bool(np.any((li2 < 0)[:-1].sum(1) > 0))
+        for plan in (baked, standalone):
+            assert plan.ok == ref.ok and plan.kwin == ref.kwin
+            assert plan.num_chunks == ref.num_chunks
+            for f in ("sb", "li", "lj", "lk", "gid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(plan, f), np.int64).ravel(),
+                    np.asarray(getattr(ref, f), np.int64).ravel(), err_msg=f,
+                )
