@@ -26,8 +26,26 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+# Required ABI of _libcuba_native.so (must equal symbolic.cpp's
+# ba_abi_version).  hasattr() feature probes cannot distinguish a stale
+# library whose exported functions have a different signature or buffer
+# contract — e.g. an old .so exporting ba_fsp_* but planning at a hardcoded
+# chunk size would make ba_fsp_copy overflow the geometry-sized buffers.
+_ABI_VERSION = 2
+
+
+def _lib_abi(lib: ctypes.CDLL) -> int:
+    if not hasattr(lib, "ba_abi_version"):
+        return 0
+    lib.ba_abi_version.restype = ctypes.c_int32
+    lib.ba_abi_version.argtypes = []
+    return int(lib.ba_abi_version())
+
 
 def _build() -> bool:
+    # compile to a temp path then rename: atomic, and never truncates a
+    # still-mapped .so in place (dlopen'd mappings keep the old inode alive)
+    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
@@ -35,13 +53,18 @@ def _build() -> bool:
         "-shared",
         "-fPIC",
         "-o",
-        _LIB_PATH,
+        tmp,
         _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -102,7 +125,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ):
                 if not _build():
                     return None
-            _lib = _bind(ctypes.CDLL(_LIB_PATH))
+            lib = ctypes.CDLL(_LIB_PATH)
+            if _lib_abi(lib) != _ABI_VERSION:
+                # mtime said current but the ABI disagrees (copied-in .so,
+                # clock skew, partial sync): rebuild once, then hard-gate —
+                # running a wrong-ABI library risks buffer overflows, the
+                # NumPy path is the safe fallback
+                del lib
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
+                if _lib_abi(lib) != _ABI_VERSION:
+                    return None
+            _lib = _bind(lib)
         except OSError:
             _lib = None
     return _lib
@@ -160,7 +195,12 @@ def symbolic_compile(e_pi: np.ndarray, e_li: np.ndarray, num_p: int, num_l: int,
         mul_k = np.empty(n_mul, np.int32)
         lib.ba_copy_mul(h, ptr(mul_i), ptr(mul_j), ptr(mul_k))
         schur_plan = None
-        if hasattr(lib, "ba_fsp_kwin"):
+        # get_lib() hard-gates on _ABI_VERSION, so the fused-plan getters
+        # are guaranteed present AND to honor the geometry args (an old .so
+        # exporting them but planning at a hardcoded chunk would overflow
+        # the C*sp_chunk buffers below); the explicit check is belt-and-
+        # braces for callers holding a lib handle from elsewhere
+        if _lib_abi(lib) >= 2:
             if not getattr(lib, "_fsp_bound", False):
                 _bind_fsp(lib)
                 lib._fsp_bound = True

@@ -371,6 +371,15 @@ void plan_schur_core(const int32_t* mi, const int32_t* mj, const int32_t* mk,
 
 extern "C" {
 
+// ABI version of this library.  The Python binding gates feature reads on
+// this instead of hasattr() probes: a stale .so that already exported the
+// ba_fsp_* getters but predates the 8-arg ba_symbolic_compile would plan at
+// a hardcoded chunk size, so ba_fsp_copy would overflow a caller buffer
+// sized for the requested geometry.  Bump whenever the signature or buffer
+// contract of any exported function changes.
+//   2 = geometry-parameterized ba_symbolic_compile (8 args) + fused plan
+int32_t ba_abi_version(void) { return 2; }
+
 void* ba_symbolic_compile(const int32_t* e_pi, const int32_t* e_li,
                           int64_t n_edges, int32_t num_p, int32_t num_l,
                           int32_t sp_chunk, int32_t sp_slot_block,

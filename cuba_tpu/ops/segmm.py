@@ -641,12 +641,35 @@ def sc_geometry() -> tuple:
     landmark-granular re-chunk keeps the padding low (kitti00-loop at 256:
     6.6% padding, schur formation 12.75 -> 11.09 ms/attempt)."""
     import os
+    import warnings
 
-    return (
-        int(os.environ.get("CUBA_TPU_SC_CHUNK", "1024")),
-        int(os.environ.get("CUBA_TPU_SC_SB", "512")),
-        1024,
-    )
+    def _env_int(name, default):
+        raw = os.environ.get(name)
+        if raw is None:
+            return default
+        try:
+            return int(raw)
+        except ValueError:
+            warnings.warn(f"{name}={raw!r} is not an integer; using {default}")
+            return default
+
+    chunk = _env_int("CUBA_TPU_SC_CHUNK", 1024)
+    sb = _env_int("CUBA_TPU_SC_SB", 512)
+    # validate before the values reach integer division in the C++ planner
+    # (0 would divide-by-zero / UB) or the kernel window geometry (lane
+    # windows must be 128-multiples and fit inside one chunk)
+    if chunk <= 0:
+        warnings.warn(f"CUBA_TPU_SC_CHUNK={chunk} invalid (must be > 0); using 1024")
+        chunk = 1024
+    if sb <= 0 or sb % 64 != 0 or sb > chunk:
+        # the kernel gather window is 2*sb lanes, so sb must be a positive
+        # multiple of 64 (window a multiple of 128) and fit one chunk
+        warnings.warn(
+            f"CUBA_TPU_SC_SB={sb} invalid (must be a positive multiple of "
+            f"64 and <= chunk={chunk}); using {min(512, chunk)}"
+        )
+        sb = min(512, chunk)
+    return (chunk, sb, 1024)
 
 
 def plan_schur(

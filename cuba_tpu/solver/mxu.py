@@ -471,9 +471,19 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
         col = None
     if cap != "dv2":
         hsc = None
-    ckey = (id(sc), col is not None, hsc is not None)
-    if _PACK_SCHUR_CACHE[0] == ckey:
+    # cache key: a WEAKREF to the plan, not id(sc) — if the first plan is
+    # garbage-collected and a later engine's plan lands at the same address
+    # (realistic in a long-lived SLAM process building many engines), an
+    # id()-keyed hit would return the previous problem's packing (wrong
+    # hsc_key/sc_ntri, garbage Schur product, no error).  A dead weakref
+    # can never compare `is sc` for a new object, so reuse is impossible.
+    import weakref
+
+    ckey = (col is not None, hsc is not None)
+    cached = _PACK_SCHUR_CACHE[0]
+    if cached is not None and cached[0]() is sc and cached[1] == ckey:
         return _PACK_SCHUR_CACHE[1]
+    ckey = (weakref.ref(sc), ckey)
     li32 = np.asarray(sc.li, np.int32)
     lj32 = np.asarray(sc.lj, np.int32)
     lk32 = np.asarray(sc.lk, np.int32)

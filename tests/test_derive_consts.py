@@ -129,6 +129,54 @@ def test_rechunked_plan_derivation_exact(pack, monkeypatch):
     _assert_schur_ids_exact(plans, out, check_lk=(pack == "dv2"))
 
 
+def test_pack_cache_survives_plan_gc_and_address_reuse():
+    """Regression (round-4 verdict): the pack cache was keyed on id(sc); if
+    the first plan was garbage-collected and a later engine's plan landed at
+    the same address, pack_schur_ids returned the PREVIOUS problem's packing
+    (wrong hsc_key/sc_ntri) with no error.  The cache now holds a weakref —
+    a dead ref can never match a new object, so a second engine built after
+    the first is freed must always get its own packing."""
+    import dataclasses
+    import gc
+
+    s1 = _structure(num_p=60, num_l=800, seed=0)
+    s2 = _structure(num_p=60, num_l=900, seed=5)
+    sc1_proto = mxu.plan_schur_for(s1)
+    sc2_proto = mxu.plan_schur_for(s2)
+    col1 = np.asarray(s1.hpl_col)
+    col2 = np.asarray(s2.hpl_col)
+
+    mxu._PACK_SCHUR_CACHE[0] = None  # cold ground truth for problem 2
+    mode_ref, ids_ref = mxu.pack_schur_ids(
+        dataclasses.replace(sc2_proto), col=col2, hsc=None
+    )
+    mxu._PACK_SCHUR_CACHE[0] = None
+
+    hit_address_reuse = False
+    for _ in range(64):
+        a = dataclasses.replace(sc1_proto)
+        mxu.pack_schur_ids(a, col=col1, hsc=None)
+        # the cached key must die with the plan (this is the fix: a weakref,
+        # not an id() that a new allocation can collide with)
+        old_id = id(a)
+        del a
+        gc.collect()
+        cached_key = mxu._PACK_SCHUR_CACHE[0]
+        assert cached_key[0]() is None, "cache key outlived the plan"
+        b = dataclasses.replace(sc2_proto)
+        hit_address_reuse |= id(b) == old_id  # CPython readily reuses slots
+        mode2, ids2 = mxu.pack_schur_ids(b, col=col2, hsc=None)
+        assert mode2 == mode_ref
+        for k in ids_ref:
+            np.testing.assert_array_equal(ids2[k], ids_ref[k], err_msg=k)
+        mxu._PACK_SCHUR_CACHE[0] = None
+        if hit_address_reuse:
+            break
+    # best-effort: on CPython the freed dataclass slot is normally reused
+    # immediately, making this a true id-collision reproduction; the
+    # dead-weakref assertion above is the deterministic guarantee either way
+
+
 def test_canonicity_check_rejects_reordered_streams():
     """A non-canonical triplet order must fall back to a packed wire mode
     (the derivation would silently rebuild the wrong ids otherwise)."""
