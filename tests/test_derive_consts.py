@@ -3,12 +3,11 @@
 The "dv" schur-id mode ships ONLY lk; li/lj are rebuilt on device from
 hpl_col via the canonical triplet enumeration (landmark-major, i-major).
 The "dv2" mode ships NOTHING but the tiny ascending hsc block-key table:
-lk is rebuilt on device too (searchsorted of the pair key against hsc_key,
-then a per-chunk rank via the shipped window block lists sc_gid) — ~7 MB
-less ctor wire at kitti00 scale, but the lk searchsorted costs ~0.5 s of
-device dispatch at that scale (docs/PERF_NOTES.md round 4), so "dv" is
-the default and dv2 is opt-in via CUBA_TPU_SC_PACK=dv2 (forced here to
-keep the machinery pinned).
+lk is rebuilt on device too, as a fused compare-sum against the chunk's
+own block keys (hsc_key[sc_gid]) — ~4 MB less ctor wire at kitti00 scale
+for ~7 ms of derive dispatch.  dv2 is the DEFAULT since round 4
+(docs/PERF_NOTES.md); it is still forced explicitly here so the tests
+pin the machinery independent of any future default change.
 """
 
 import numpy as np
