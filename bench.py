@@ -10,7 +10,17 @@ Timed region matches the reference sample (samples/sample_ba_from_file.cpp:
 31-75): a warm-up initialize+optimize is run first (JIT compile analogue of
 the reference's warm-up), then initialize() + optimize(10) is timed.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+the extra fields make the number interpretable without a lab notebook:
+  probe_mbps    — 10 MB upload probe bracketing the timed trials (the
+                  serving-tunnel weather; ±0.3-0.5 s day-to-day at 40-90
+                  MB/s, docs/PERF_NOTES.md)
+  rt_ms         — 4-byte readback round-trip latency of the same probe
+  structure_s / ctor_s / opt_s — best-trial split of the timed region
+  warm_opt_s    — warm-engine optimize(iters) wall (device time + one RTT;
+                  excludes the fresh-engine upload/derive tail)
+  chi2_final    — final chi2 of the reported trial (also asserted against
+                  the recorded fp64 parity band, docs/PARITY_kitti00.md)
 """
 
 import argparse
@@ -22,6 +32,23 @@ import numpy as np
 
 BASELINE_GPU_SECONDS = 1.23  # kitti_00, reference README.md:38, GTX 1080
 BASELINE_GPU_SECONDS_QUICK = 0.23  # kitti_07, reference README.md:37
+
+# Recorded fp64 (XLA path) final chi2 for the exact default bench graphs,
+# 10 LM iterations (docs/PARITY_kitti00.md; regenerate with
+# tools/parity_kitti00.py).  A descending-but-numerically-wrong fp32 run
+# must NOT publish a headline number: the final chi2 has to land within
+# REL_BAND of the recorded fp64 value.  The band is wide enough for fp32
+# reduction-order noise (measured ~2e-6 rel) and seed-stable LM attempt
+# divergence (an extra rejected attempt shifts chi2 ~1e-4 rel), narrow
+# enough to reject any real numerics bug (wrong Jacobian/weight/solve
+# errors move chi2 by >1e-2 rel at these scales).
+CHI2_FP64_FINAL = {
+    # (name, iters): final chi2 from the recorded fp64 run
+    ("kitti00_scale_loop", 10): 925601.05,
+    ("kitti00_scale", 10): 924194.00,
+    ("kitti07_scale", 10): 148331.12,
+}
+CHI2_REL_BAND = 5e-3
 
 
 def main():
@@ -149,6 +176,16 @@ def main():
             file=sys.stderr,
         )
 
+    # warm-engine device time: the same optimize(iters) on the already
+    # uploaded engine — excludes the fresh-engine upload + derive tail, so
+    # the JSON separates "device capability" from "transport"
+    warm_opt_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = engine.optimize(None, args.iters)
+        int(r.niters)
+        warm_opt_s = min(warm_opt_s, time.perf_counter() - t0)
+
     # --- timed: initialize + upload + optimize(iters) --------------------
     # best of 3: the TPU serving tunnel has multi-hundred-ms latency jitter
     # between runs (docs/PERF_NOTES.md); min-of-repeats is the standard way
@@ -156,6 +193,7 @@ def main():
     import gc
 
     elapsed = float("inf")
+    split = (0.0, 0.0, 0.0)
     for trial in range(args.trials):
         gc.collect()  # keep collector pauses out of the timed region
         t0 = time.perf_counter()
@@ -173,13 +211,52 @@ def main():
                 f"structure {t1-t0:.3f} ctor {t2-t1:.3f} opt+sync {t3-t2:.3f})",
                 file=sys.stderr,
             )
-        elapsed = min(elapsed, trial_s)
+        if trial_s < elapsed:
+            elapsed = trial_s
+            split = (t1 - t0, t2 - t1, t3 - t2)
 
     chis = np.asarray(result.chis)[: int(result.niters)]
     assert chis.size >= 2 and chis[-1] <= chis[0], f"LM failed to converge: {chis}"
+    # correctness gate: descent alone would let a numerically wrong fp32 run
+    # publish a perf number — the final chi2 must also land in the recorded
+    # fp64 parity band (docs/PARITY_kitti00.md) when this configuration has
+    # a recorded value (the default graphs do)
+    chi2_final = float(chis[-1])
+    ref_chi2 = CHI2_FP64_FINAL.get((name, args.iters))
+    if ref_chi2 is not None:
+        rel = abs(chi2_final - ref_chi2) / abs(ref_chi2)
+        assert rel < CHI2_REL_BAND, (
+            f"final chi2 {chi2_final:.2f} is outside the recorded fp64 "
+            f"parity band ({ref_chi2:.2f} ± {CHI2_REL_BAND:.0e} rel, "
+            f"measured rel {rel:.2e}) — wrong numerics, refusing to "
+            f"publish a headline number (docs/PARITY_kitti00.md)"
+        )
+    elif args.verbose:
+        print(f"# no recorded fp64 chi2 for ({name}, {args.iters})", file=sys.stderr)
     if args.verbose:
         print(f"# chi2 trajectory: {chis}", file=sys.stderr)
         print(f"# iterations run: {int(result.niters)}", file=sys.stderr)
+
+    # --- tunnel-weather probe (after the trials so it can't disturb them):
+    # 10 MB upload + 4-byte readback, median of 3 — the two numbers that
+    # explain wall-clock deltas between sessions (docs/PERF_NOTES.md)
+    import jax.numpy as jnp_probe
+
+    dev = jax.devices()[0]
+    blob = np.random.default_rng(0).random(10 * 1024 * 1024 // 8)
+    ups, rts = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jax.device_put(blob, dev)
+        d.block_until_ready()
+        ups.append(time.perf_counter() - t0)
+        sprobe = jnp_probe.sum(d[:1])
+        sprobe.block_until_ready()
+        t0 = time.perf_counter()
+        float(sprobe)
+        rts.append(time.perf_counter() - t0)
+        del d
+    probe_mbps = 10.0 / float(np.median(ups))
 
     print(
         json.dumps(
@@ -188,6 +265,13 @@ def main():
                 "value": round(elapsed, 4),
                 "unit": "s",
                 "vs_baseline": round(baseline / elapsed, 3),
+                "probe_mbps": round(probe_mbps, 1),
+                "rt_ms": round(float(np.median(rts)) * 1e3, 2),
+                "structure_s": round(split[0], 4),
+                "ctor_s": round(split[1], 4),
+                "opt_s": round(split[2], 4),
+                "warm_opt_s": round(warm_opt_s, 4),
+                "chi2_final": round(chi2_final, 2),
             }
         )
     )

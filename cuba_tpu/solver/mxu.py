@@ -86,6 +86,12 @@ class MXUPlans:
     # (separate tables)
     sc_pack: str = "none"
     sc_ntri: int = 0  # valid triplet count (the "dv" derivation's bound)
+    # max landmarks any chunk touches (+1), 128-padded: enables the windowed
+    # compare-sum triplet->landmark derivation in derive_consts (the [C,R,wl]
+    # rank against each chunk's own cumT window replaces a device-wide
+    # 1.95M-element scatter+cumsum — same trick as the dv2 lk derivation).
+    # 0 = window too wide at this shape; derive falls back to the cumsum.
+    sc_wl: int = 0
     # band + low-rank (loop closure) Woodbury plan: k loop-column pose
     # blocks and n_ob out-of-band Hsc blocks (0 when the pattern is pure
     # band or the loop-column set exceeds the Woodbury gate)
@@ -942,6 +948,11 @@ def plan_mxu(
             hsc=(s.hsc_row, s.hsc_col, num_p) if v2 else None,
         )
         plans.sc_ntri = int(_scids.get("sc_ntri", 0))
+        if plans.sc_pack in ("dv", "dv2") and sc is not None:
+            plans.sc_wl = _lm_window(
+                np.asarray(s.hpl_col), num_l, sc,
+                _scids.get("sc_t0"), plans.sc_ntri,
+            )
         sc_lij = _scids["sc_lij"]
         sc_li = _scids["sc_li"]
         sc_lj = _scids["sc_lj"]
@@ -1103,6 +1114,34 @@ def plan_mxu(
     return plans, consts
 
 
+def _lm_window(col: np.ndarray, num_l: int, sc, sc_t0, n_tri: int) -> int:
+    """Host twin of the derive-time chunk->landmark window: the max number
+    of landmarks any chunk's triplets touch, +1, rounded to 128 lanes.
+    Returns 0 (fall back to the device-wide cumsum derivation) when a chunk
+    spans more than _LM_WL_MAX landmarks — only possible with pathologically
+    tiny observation counts."""
+    if n_tri <= 0:
+        return 0
+    C, chunk = sc.num_chunks, sc.chunk
+    nl = np.bincount(col, minlength=num_l).astype(np.int64)
+    cumT = np.zeros(num_l + 1, np.int64)
+    np.cumsum(nl * (nl + 1) // 2, out=cumT[1:])
+    if sc_t0 is not None and np.asarray(sc_t0).size == C + 1:
+        t0 = np.asarray(sc_t0, np.int64)
+    else:
+        t0 = np.arange(C + 1, dtype=np.int64) * chunk
+    t0 = np.minimum(t0, n_tri)
+    lm0 = np.searchsorted(cumT, t0[:C], side="right") - 1
+    lm1 = np.searchsorted(cumT, np.maximum(t0[1:] - 1, t0[:C]), side="right") - 1
+    wl = int((lm1 - lm0).max()) + 1
+    wl = -(-wl // 128) * 128
+    return wl if wl <= _LM_WL_MAX else 0
+
+
+_LM_WL_MAX = 1024  # compare-sum cost scales with wl; beyond this the
+# device-wide cumsum derivation is the better program
+
+
 def derive_statics(plans: MXUPlans, n_hpl: int) -> Optional[tuple]:
     """The hashable statics derive_consts needs for the plan's wire modes —
     built here so the engine, the tests and any other derive_consts caller
@@ -1113,7 +1152,7 @@ def derive_statics(plans: MXUPlans, n_hpl: int) -> Optional[tuple]:
     t = (n_hpl, sch.chunk, sch.slot_block, plans.sc_ntri, sch.num_chunks)
     if plans.sc_pack == "dv2":
         t += (sch.kwin, plans.wg, plans.pad_blocks, sch.n_hsc_pad)
-    return t
+    return t + (plans.sc_wl,)
 
 
 def derive_consts(
@@ -1191,20 +1230,44 @@ def derive_consts(
             (r[None, :] < (t0[1:] - t0[:C])[:, None]).reshape(-1)
             & (pc < n_tri)
         )
-        # triplet -> landmark: inclusive cumsum over boundary marks placed
-        # at the PADDED position of each landmark's canonical boundary
-        # (mapped through t0 with one tiny [num_l]-query searchsorted).
-        # (A searchsorted(cumT, t) computes the same thing but measured 3x
-        # SLOWER — log(L) sequential 1.95M-query gather passes lose to one
-        # device cumsum.  Same reason dv2's lk searchsorted cost ~0.5 s.)
-        q = jnp.minimum(cumT[1:], t0[C])
-        cq = jnp.clip(
-            jnp.searchsorted(t0, q, side="right").astype(jnp.int32) - 1,
-            0, C - 1,
-        )
-        bpos = jnp.minimum(cq * chunk + (q - t0[cq]), n_pad)
-        marks = jnp.zeros(n_pad + 1, jnp.int32).at[bpos].add(1)
-        lm = jnp.cumsum(marks)[:n_pad]
+        wl = sc_dv[-1] if len(sc_dv) in (6, 10) else 0
+        if wl > 0:
+            # triplet -> landmark via the chunk-windowed compare-sum: chunks
+            # process landmarks in order, so chunk c touches the contiguous
+            # landmark range [lm0[c], lm0[c] + wl); the landmark of canonical
+            # position pc is lm0[c] + rank of pc among the window's cumT
+            # boundaries.  One fused [C, R, wl] compare-sum — the same trick
+            # as dv2's lk, replacing the device-wide scatter + 1.95M-element
+            # cumsum below (~90 ms at kitti00 scale -> ~10 ms).
+            lm0 = jnp.clip(
+                jnp.searchsorted(cumT, t0[:C], side="right").astype(jnp.int32)
+                - 1, 0, num_l - 1,
+            )
+            w = jnp.arange(wl, dtype=jnp.int32)
+            lmw = jnp.minimum(lm0[:, None] + 1 + w[None, :], num_l)
+            cumTw = cumT[lmw]  # [C, wl]
+            rank = (
+                (cumTw[:, None, :] <= pc.reshape(C, chunk)[:, :, None])
+                .sum(-1)
+                .astype(jnp.int32)
+            )
+            lm = (lm0[:, None] + rank).reshape(-1)
+        else:
+            # fallback: inclusive cumsum over boundary marks placed at the
+            # PADDED position of each landmark's canonical boundary (mapped
+            # through t0 with one tiny [num_l]-query searchsorted).
+            # (A searchsorted(cumT, t) computes the same thing but measured
+            # 3x SLOWER — log(L) sequential 1.95M-query gather passes lose
+            # to one device cumsum.  Same reason dv2's lk searchsorted cost
+            # ~0.5 s.)
+            q = jnp.minimum(cumT[1:], t0[C])
+            cq = jnp.clip(
+                jnp.searchsorted(t0, q, side="right").astype(jnp.int32) - 1,
+                0, C - 1,
+            )
+            bpos = jnp.minimum(cq * chunk + (q - t0[cq]), n_pad)
+            marks = jnp.zeros(n_pad + 1, jnp.int32).at[bpos].add(1)
+            lm = jnp.cumsum(marks)[:n_pad]
         lm_c = jnp.minimum(lm, num_l - 1)
         p = pc - cumT[lm_c]
         n = nl[lm_c]

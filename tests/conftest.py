@@ -17,6 +17,20 @@ if not os.environ.get("CUBA_TPU_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the fast lane is compile-bound on a 1-core box
+# (~4x the device time); the disk cache drops warm-run wall from ~5 to ~2.5
+# minutes.  Keyed by HLO hash, so stale hits are impossible; cold runs just
+# pay the old cost once.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CUBA_TPU_TEST_CACHE",
+                       os.path.expanduser("~/.cache/cuba_tpu/jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # older jax without the knob: compile uncached
+    pass
+
 import numpy as np
 import pytest
 
