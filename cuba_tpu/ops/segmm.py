@@ -653,8 +653,14 @@ def sc_geometry() -> tuple:
             warnings.warn(f"{name}={raw!r} is not an integer; using {default}")
             return default
 
+    # SB=256 default (round 5): the slot window sets 80% of schur_fused's
+    # physical FLOPs; halving it from 512 cut the kitti00-loop headline
+    # 1.026 -> 0.850 s (with the windowed derive) at identical tunnel
+    # weather, with 6.6% chunk padding.  Shapes whose landmarks overflow
+    # the tighter window re-chunk at landmark granularity or fall back to
+    # the plan-infeasible XLA path exactly as before.
     chunk = _env_int("CUBA_TPU_SC_CHUNK", 1024)
-    sb = _env_int("CUBA_TPU_SC_SB", 512)
+    sb = _env_int("CUBA_TPU_SC_SB", 256)
     # validate before the values reach integer division in the C++ planner
     # (0 would divide-by-zero / UB) or the kernel window geometry (lane
     # windows must be 128-multiples and fit inside one chunk)
