@@ -331,7 +331,10 @@ def pose_ranks(s: BAStructure) -> np.ndarray:
         [np.asarray(s.mono.pose_idx, np.int64), np.asarray(s.stereo.pose_idx, np.int64)]
     )
     first = np.full(total_p, np.int64(1) << 60)
-    np.minimum.at(first, allp, np.arange(allp.size, dtype=np.int64))
+    # first-occurrence scatter: reversed fancy assignment (last write wins
+    # = first position in forward order) — np.minimum.at is a slow ufunc
+    # inner loop (~35 ms at 564k edges on the 1-core host, vs ~4 ms here)
+    first[allp[::-1]] = np.arange(allp.size - 1, -1, -1, dtype=np.int64)
     rorder = np.argsort(first, kind="stable")  # gather column -> pose idx
     prank = np.empty(total_p, np.int64)
     prank[rorder] = np.arange(total_p)
