@@ -1020,7 +1020,12 @@ class MultiChipEngine:
                 p.qs, p.ts, p.Xws, p.consts
             )
         p.qs, p.ts, p.Xws = qs, ts, Xws_s
-        return np.asarray(chis)[: int(it)], qs, ts, Xws_s, lam, natt
+        # ONE host transfer for every scalar diagnostic: separate
+        # np.asarray / int() reads each pay a full serving-tunnel RTT
+        # (~24 ms) — three of them were the bulk of the measured ~23 ms
+        # fixed per-call overhead vs the single-chip engine
+        chis_h, it_h, lam_h, natt_h = jax.device_get((chis, it, lam, natt))
+        return np.asarray(chis_h)[: int(it_h)], qs, ts, Xws_s, lam_h, natt_h
 
     def gathered_landmarks(self) -> np.ndarray:
         """[num_l, 3] active landmark estimates in global order."""

@@ -1840,9 +1840,11 @@ def schur_block_diag_inv_rows(HppT, HplT, W, lam, num_p,
 def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
                    plans: MXUPlans, mc: MXUConsts,
                    max_iterations: int, tol: float, interpret=False,
-                   axis_name=None):
+                   axis_name=None, with_iters: bool = False):
     """Block-Jacobi preconditioned CG on the matrix-free Schur operator,
-    all in transposed rows layout.  Returns (xT [6, P], ok).
+    all in transposed rows layout.  Returns (xT [6, P], ok), or
+    (xT, ok, k) with ``with_iters`` (k = CG steps taken — the replicated
+    latency-chain length in the multi-chip scaling model).
 
     Same control flow as solver/pcg.py::pcg_solve (the XLA-path twin);
     non-convergence reports ok=False and the LM loop rejects the step —
@@ -1895,6 +1897,8 @@ def pcg_solve_rows(HppT, HplT, W, lam, bT, num_p, num_l,
     )
     ok = (dot(r, r) <= tol2) & jnp.all(jnp.isfinite(x))
     x = jnp.where(ok, x, jnp.zeros_like(x))
+    if with_iters:
+        return x, ok, k
     return x, ok
 
 

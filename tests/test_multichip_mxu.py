@@ -123,7 +123,15 @@ def test_multichip_mxu_loop_closure_band_lr():
     (band_from_compact with_ob + cr_solve_woodbury) — multi-chip parity
     for the single-chip band_lr solver.  Uses the fold-resistant chord
     graph from test_band_lr (a single seam would be re-banded by the
-    cycle-fold ordering and never reach Woodbury)."""
+    cycle-fold ordering and never reach Woodbury).
+
+    The reference is the fp64 engine (ground truth), NOT the fp32 XLA
+    twin: this chord graph is fp32-hot, and the fp32 XLA formation's
+    reduction order drifts ~1e-2 rel from fp64 (measured round 5 — it
+    moved when round 4's 2-D row-layout triplet product changed the
+    accumulation order), while the MXU fp32 paths sit at ~1e-4.
+    Comparing two noisy fp32 twins made the test flap with formation
+    reduction-order changes; comparing against fp64 pins correctness."""
     if len(jax.devices()) < 4:
         pytest.skip("need 4 devices")
     from test_band_lr import KERNELS, _loop_graph
@@ -132,7 +140,7 @@ def test_multichip_mxu_loop_closure_band_lr():
 
     s = _loop_graph(num_p=160, num_l=1000, chords=4, seed=3)
     ref = BlockSolverEngine(
-        s, KERNELS, BAConfig(dtype=jnp.float32, mxu="off", solver="band_lr")
+        s, KERNELS, BAConfig(dtype=jnp.float64, mxu="off", solver="band_lr")
     )
     r = ref.optimize(None, 3)
     chis_single = np.asarray(r.chis)[: int(r.niters)]
@@ -147,7 +155,9 @@ def test_multichip_mxu_loop_closure_band_lr():
     n = min(len(chis_single), len(chis_multi))
     assert n >= 2
     rel = np.abs(chis_single[:n] - chis_multi[:n]) / np.abs(chis_single[:n])
-    assert np.all(rel < 5e-3), list(zip(chis_single[:n], chis_multi[:n]))
+    # fp32 MXU vs fp64 truth measured <= 1.2e-4 on this graph; 1e-3 leaves
+    # reduction-order headroom while still catching any real formation bug
+    assert np.all(rel < 1e-3), list(zip(chis_single[:n], chis_multi[:n]))
 
 
 @pytest.mark.slow  # heavy sweep: CI slow lane
