@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--loop-closures", action="store_true", default=True)
     ap.add_argument("--no-loop-closures", dest="loop_closures", action="store_false")
+    ap.add_argument("--pcg-tol", type=float, default=None,
+                    help="override BAConfig.pcg_tol (1e-10 parity-grade; "
+                    "1e-4 is the practical inexact-Newton setting)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,7 @@ def main():
     lam0 = jnp.float32(1e-3)
     REPS = args.reps
     cfg = eng.config
+    pcg_tol = cfg.pcg_tol if args.pcg_tol is None else args.pcg_tol
 
     @jax.jit
     def inputs(st, co):
@@ -128,7 +132,7 @@ def main():
         bT = HppT[36:42]
         x, _ok = mxu.pcg_solve_rows(
             HppT, HplT, W, lam0, bT, eng.num_p, eng.num_l, plans, mc,
-            cfg.pcg_max_iterations, cfg.pcg_tol)
+            cfg.pcg_max_iterations, pcg_tol)
         return x
     t_pcg = timed("pcg_solve_rows (all)", loop(f_pcg), W, HplT, HppT)
 
@@ -137,12 +141,12 @@ def main():
         bT = HppT[36:42]
         _x, ok, k = mxu.pcg_solve_rows(
             HppT, HplT, W, lam0, bT, eng.num_p, eng.num_l, plans, mc,
-            cfg.pcg_max_iterations, cfg.pcg_tol, with_iters=True)
+            cfg.pcg_max_iterations, pcg_tol, with_iters=True)
         return ok, k
     ok, n_cg = jax.block_until_ready(pcg_iters(W, HplT, HppT))
     n_cg = int(n_cg)
     print(f"pcg converged={bool(ok)} n_cg={n_cg} "
-          f"(cap {cfg.pcg_max_iterations}, tol {cfg.pcg_tol})", flush=True)
+          f"(cap {cfg.pcg_max_iterations}, tol {pcg_tol})", flush=True)
 
     t_lat = T_LAT_US * 1e-6
     rep_pcg = n_cg * t_lat
