@@ -128,6 +128,20 @@ def test_rechunked_plan_derivation_exact(pack, monkeypatch):
     _assert_schur_ids_exact(plans, out, check_lk=(pack == "dv2"))
 
 
+@pytest.mark.parametrize("pack", ["dv", "dv2"])
+def test_cumsum_fallback_derivation_exact(pack, monkeypatch):
+    """The windowed compare-sum landmark derivation is gated by sc_wl; when
+    a chunk would span more landmarks than _LM_WL_MAX (sc_wl = 0), the
+    device-wide scatter+cumsum path must still derive exactly."""
+    monkeypatch.setenv("CUBA_TPU_SC_PACK", pack)
+    monkeypatch.setattr(mxu, "_LM_WL_MAX", 0)  # force the fallback
+    s = _structure(loop=True, seed=2)
+    plans, consts, out = _derived(s)
+    assert plans.sc_pack == pack
+    assert plans.sc_wl == 0  # gate engaged
+    _assert_schur_ids_exact(plans, out, check_lk=(pack == "dv2"))
+
+
 def test_pack_cache_survives_plan_gc_and_address_reuse():
     """Regression (round-4 verdict): the pack cache was keyed on id(sc); if
     the first plan was garbage-collected and a later engine's plan landed at
