@@ -60,7 +60,29 @@ _DENSE_MAX_PB = 4096
 # reference's repeated `initialize(); optimize()` pattern,
 # samples/sample_ba_from_file.cpp:155-163) must not retrace.  jax.jit's own
 # per-aval cache handles differing array shapes under the same spec.
-_JIT_CACHE: Dict[tuple, object] = {}
+# LRU-bounded: a long-lived SLAM process whose local-BA window grows across
+# padding buckets would otherwise accumulate compiled executables (tens of
+# MB each) without limit; eviction only costs a retrace on the next use of
+# an evicted spec.  Padding buckets (pose blocks of 128, rounded edge pads)
+# keep the working set small, so 64 entries is generous.
+from collections import OrderedDict
+
+_JIT_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_JIT_CACHE_MAX = int(os.environ.get("CUBA_TPU_JIT_CACHE_MAX", "64"))
+
+
+def _jit_cache_put(key, value):
+    _JIT_CACHE[key] = value
+    _JIT_CACHE.move_to_end(key)
+    while len(_JIT_CACHE) > max(_JIT_CACHE_MAX, 1):
+        _JIT_CACHE.popitem(last=False)
+
+
+def _jit_cache_get(key):
+    v = _JIT_CACHE.get(key)
+    if v is not None:
+        _JIT_CACHE.move_to_end(key)
+    return v
 
 
 class State(NamedTuple):
@@ -406,9 +428,11 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
         # unpack into its own jitted dispatch (e.g. the LM loop), removing
         # one ~30-50ms tunnel round trip per engine construction
         return args, unpack, key
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(unpack)
-    return _JIT_CACHE[key](*args)
+    fn = _jit_cache_get(key)
+    if fn is None:
+        fn = jax.jit(unpack)
+        _jit_cache_put(key, fn)
+    return fn(*args)
 
 class BlockSolverEngine:
     """Owns device constants + compiled functions for one problem structure."""
@@ -1069,9 +1093,11 @@ class BlockSolverEngine:
     def _materialize(self):
         if self._consts_cache is None:
             key = ("materialize", self._unpack_key)
-            if key not in _JIT_CACHE:
-                _JIT_CACHE[key] = jax.jit(self._unpack)
-            st, co = _JIT_CACHE[key](*self._blobs)
+            fn = _jit_cache_get(key)
+            if fn is None:
+                fn = jax.jit(self._unpack)
+                _jit_cache_put(key, fn)
+            st, co = fn(*self._blobs)
             self._state_cache, self._consts_cache = st, co
 
     @property
@@ -1122,7 +1148,8 @@ class BlockSolverEngine:
             # fast path: unpack the uploaded blobs INSIDE the LM dispatch
             # (used by the public API's first optimize after initialize)
             key = ("lm_run_blob", niterations, self._unpack_key) + self._spec
-            if key not in _JIT_CACHE:
+            fn = _jit_cache_get(key)
+            if fn is None:
                 run = self._make_lm_run(niterations)
                 unpack = self._unpack
 
@@ -1130,14 +1157,17 @@ class BlockSolverEngine:
                     st, co = unpack(*blobs)
                     return run(st, co)
 
-                _JIT_CACHE[key] = jax.jit(blob_run)
-            return _JIT_CACHE[key](*self._blobs)
+                fn = jax.jit(blob_run)
+                _jit_cache_put(key, fn)
+            return fn(*self._blobs)
         if state is None:
             state = self.state
         key = ("lm_run", niterations) + self._spec
-        if key not in _JIT_CACHE:
-            _JIT_CACHE[key] = jax.jit(self._make_lm_run(niterations))
-        return _JIT_CACHE[key](state, self.consts)
+        fn = _jit_cache_get(key)
+        if fn is None:
+            fn = jax.jit(self._make_lm_run(niterations))
+            _jit_cache_put(key, fn)
+        return fn(state, self.consts)
 
     # ------------------------------------------------------------------
     # fused-path phase attribution (reference 8-phase TimeProfile from a
@@ -1273,9 +1303,11 @@ class BlockSolverEngine:
 
     def _get_jit(self, name, fn):
         key = (name,) + self._spec
-        if key not in _JIT_CACHE:
-            _JIT_CACHE[key] = jax.jit(fn)
-        return _JIT_CACHE[key]
+        cached = _jit_cache_get(key)
+        if cached is None:
+            cached = jax.jit(fn)
+            _jit_cache_put(key, cached)
+        return cached
 
     def optimize_profiled(self, state: State, niterations: int):
         """Reference-equivalent LM loop stepped from the host with per-phase
