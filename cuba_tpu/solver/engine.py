@@ -550,7 +550,17 @@ class BlockSolverEngine:
                 print(f"# early blob: {eblob.nbytes/1e6:.2f} MB", file=sys.stderr)
                 for k, m, _o, p, _n in sorted(emeta[0], key=lambda t: -t[3]):
                     print(f"#   early {k} mode={m} {p*4/1e6:.2f} MB", file=sys.stderr)
-            early = (jax.device_put(eblob), emeta)
+            early_dev = jax.device_put(eblob)
+            # force the wire transfer to START now: through the serving
+            # tunnel, device_put completes once the buffer is staged, and
+            # the physical transfer otherwise materializes at the first
+            # dependent dispatch — which would push the ~0.14 s of wire
+            # time (9.7 MB at ~70 MB/s) into the first optimize instead of
+            # overlapping it with the ~0.2 s host planning pass below.
+            # A 1-element async touch (no readback) is enough to schedule
+            # the transfer + dispatch in the background.
+            jnp.sum(early_dev[:1])
+            early = (early_dev, emeta)
             early_avail = {n: (a.shape, pv) for n, a, _pv2 in eitems for pv in [_pv2]}
 
         self.mxu_plans = None
