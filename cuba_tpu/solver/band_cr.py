@@ -158,6 +158,32 @@ def _inv_spd(M):
     return _inv_spd_chol(M)
 
 
+def merge_pairs(D: jnp.ndarray, U: jnp.ndarray):
+    """Merge adjacent block pairs: [m, B, B] tridiagonal -> [ceil(m/2), 2B,
+    2B] tridiagonal over the SAME matrix (odd m pads a decoupled identity
+    block).  CR on the merged system runs one fewer level with 8x-larger
+    matmuls per op.  NEGATIVE RESULT (round 5, v5e, m=22): merge=1
+    measured 6.9 vs 6.2 ms and merge=2 14.5 ms — the fatter recursive-
+    Schur inverses cost more than the saved level, so the default stays 0
+    and CUBA_TPU_CR_MERGE is a measurement knob (docs/PERF_NOTES.md)."""
+    m, Bd = D.shape[0], D.shape[1]
+    if m % 2:
+        D = jnp.concatenate([D, jnp.eye(Bd, dtype=D.dtype)[None]], axis=0)
+        U = jnp.concatenate([U, jnp.zeros((1, Bd, Bd), D.dtype)], axis=0)
+    De, Do = D[0::2], D[1::2]
+    Ue = U[0::2]  # intra-pair coupling 2k -> 2k+1
+    Uo = U[1::2]  # inter-pair coupling 2k+1 -> 2k+2
+    top = jnp.concatenate([De, Ue], axis=2)
+    bot = jnp.concatenate([jnp.swapaxes(Ue, 1, 2), Do], axis=2)
+    D2 = jnp.concatenate([top, bot], axis=1)
+    z = jnp.zeros_like(Uo)
+    U2 = jnp.concatenate(
+        [jnp.concatenate([z, z], axis=2), jnp.concatenate([Uo, z], axis=2)],
+        axis=1,
+    )
+    return D2, U2
+
+
 def factor(D: jnp.ndarray, U: jnp.ndarray):
     """Cyclic-reduction factorization of the block-tridiagonal (D, U).
 
@@ -167,6 +193,7 @@ def factor(D: jnp.ndarray, U: jnp.ndarray):
     """
     levels = []
     b_dt = D.dtype
+    Bd = D.shape[1]
     while D.shape[0] > 2:
         m = D.shape[0]
         ne, no = (m + 1) // 2, m // 2
@@ -182,7 +209,7 @@ def factor(D: jnp.ndarray, U: jnp.ndarray):
         # reduced super-diagonal: U'_t = -R_t U_{2t+1}, t < ne-1
         Un = -(R[: ne - 1] @ Uo[: ne - 1])
         Un = jnp.concatenate(
-            [Un, jnp.zeros((ne - (ne - 1), B, B), b_dt)], axis=0
+            [Un, jnp.zeros((ne - (ne - 1), Bd, Bd), b_dt)], axis=0
         )
         levels.append((Dinv_o, Ue, Uo, R, L))
         D, U = Dn, Un
@@ -206,8 +233,12 @@ def solve(levels, base, b: jnp.ndarray) -> jnp.ndarray:
     vec = b.ndim == 1
     bm = b[:, None] if vec else b
     R_ = bm.shape[1]
-    m0 = bm.shape[0] // B
-    b_lv = [bm.reshape(m0, B, R_)]
+    if not levels:  # base-only factor (m <= 2): one dense solve
+        x = base @ bm
+        return x[:, 0] if vec else x
+    Bd = levels[0][0].shape[-1]
+    m0 = bm.shape[0] // Bd
+    b_lv = [bm.reshape(m0, Bd, R_)]
     for (Dinv_o, Ue, Uo, R, L) in levels:
         bb = b_lv[-1]
         m = bb.shape[0]
@@ -217,17 +248,17 @@ def solve(levels, base, b: jnp.ndarray) -> jnp.ndarray:
         bn = be.at[:no].add(-(R @ bo))
         bn = bn.at[1:ne].add(-(L @ bo[: ne - 1]))
         b_lv.append(bn)
-    x = (base @ b_lv[-1].reshape(-1, R_)).reshape(-1, B, R_)
+    x = (base @ b_lv[-1].reshape(-1, R_)).reshape(-1, Bd, R_)
     for (Dinv_o, Ue, Uo, R, L), bb in zip(reversed(levels), reversed(b_lv[:-1])):
         m = bb.shape[0]
         no = m // 2
         bo = bb[1::2]
         # x_odd[t] = Dinv[t] (b_odd[t] - U[2t]^T x_e[t] - U[2t+1] x_e[t+1])
-        xe_r = jnp.concatenate([x[1:], jnp.zeros((1, B, R_), x.dtype)], axis=0)
+        xe_r = jnp.concatenate([x[1:], jnp.zeros((1, Bd, R_), x.dtype)], axis=0)
         r = bo - jnp.swapaxes(Ue, 1, 2) @ x[:no]
         r = r - Uo[:no] @ xe_r[:no]
         xo = Dinv_o @ r
-        xn = jnp.zeros((m, B, R_), x.dtype)
+        xn = jnp.zeros((m, Bd, R_), x.dtype)
         xn = xn.at[0::2].set(x[: (m + 1) // 2])
         xn = xn.at[1::2].set(xo)
         x = xn
@@ -241,12 +272,13 @@ def matvec(D: jnp.ndarray, U: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     xm = x[:, None] if vec else x
     R_ = xm.shape[1]
     m = D.shape[0]
-    xb = xm.reshape(m, B, R_)
+    Bd = D.shape[1]
+    xb = xm.reshape(m, Bd, R_)
     y = D @ xb
-    xr = jnp.concatenate([xb[1:], jnp.zeros((1, B, R_), x.dtype)], axis=0)
+    xr = jnp.concatenate([xb[1:], jnp.zeros((1, Bd, R_), x.dtype)], axis=0)
     y = y + U @ xr
-    xl = jnp.concatenate([jnp.zeros((1, B, R_), x.dtype), xb[:-1]], axis=0)
-    Ul = jnp.concatenate([jnp.zeros((1, B, B), x.dtype), U[:-1]], axis=0)
+    xl = jnp.concatenate([jnp.zeros((1, Bd, R_), x.dtype), xb[:-1]], axis=0)
+    Ul = jnp.concatenate([jnp.zeros((1, Bd, Bd), x.dtype), U[:-1]], axis=0)
     y = y + jnp.swapaxes(Ul, 1, 2) @ xl
     y = y.reshape(-1, R_)
     return y[:, 0] if vec else y
@@ -256,14 +288,24 @@ def _factor_equilibrated(D: jnp.ndarray, U: jnp.ndarray):
     """Jacobi-equilibrate and CR-factor the band, with the fp32
     diagonal-boost retry on non-finite factors.  Returns ``solve_with``,
     a closure solving A x = rhs ([n] or [n, R]) in the ORIGINAL scaling."""
-    d = jnp.diagonal(D, axis1=1, axis2=2)  # [m, B]
+    import os
+
+    n_orig = D.shape[0] * D.shape[1]
+    merge = int(os.environ.get("CUBA_TPU_CR_MERGE", "0"))
+    for _ in range(merge):
+        if D.shape[0] < 4:
+            break
+        D, U = merge_pairs(D, U)
+    Bd = D.shape[1]
+    n_pad = D.shape[0] * Bd - n_orig  # odd-m merges append identity blocks
+    d = jnp.diagonal(D, axis1=1, axis2=2)  # [m, Bd]
     s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, D.dtype)))
-    sr = jnp.concatenate([s[1:], jnp.ones((1, B), s.dtype)], axis=0)
+    sr = jnp.concatenate([s[1:], jnp.ones((1, Bd), s.dtype)], axis=0)
     Ds = D * s[:, :, None] * s[:, None, :]
     Us = U * s[:, :, None] * sr[:, None, :]
     sf = s.reshape(-1)
 
-    eyeB = jnp.eye(B, dtype=D.dtype)
+    eyeB = jnp.eye(Bd, dtype=D.dtype)
 
     if D.dtype == jnp.float32:
         # fp32 diagonal-boost retry as ONE lax.cond, not a while_loop: the
@@ -286,8 +328,12 @@ def _factor_equilibrated(D: jnp.ndarray, U: jnp.ndarray):
         levels, base = factor(Ds, Us)
 
     def solve_with(rhs):
+        if n_pad:  # identity-padded tail rows (decoupled, zero rhs)
+            zpad = ((0, n_pad),) + ((0, 0),) * (rhs.ndim - 1)
+            rhs = jnp.pad(rhs, zpad)
         sc = sf if rhs.ndim == 1 else sf[:, None]
-        return sc * solve(levels, base, rhs * sc)
+        x = sc * solve(levels, base, rhs * sc)
+        return x[:n_orig] if n_pad else x
 
     return solve_with
 

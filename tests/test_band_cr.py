@@ -53,6 +53,20 @@ def test_cr_matches_dense_solve(m, rng):
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.parametrize("m", [5, 8])
+def test_cr_pair_merge_matches_dense_solve(m, rng, monkeypatch):
+    """CUBA_TPU_CR_MERGE folds block pairs into 2B-blocks before factoring
+    (band_cr.merge_pairs — a measurement knob, default 0 after the round-5
+    negative result); the merged factorization must stay exact, including
+    the odd-m identity-pad path."""
+    monkeypatch.setenv("CUBA_TPU_CR_MERGE", "1")
+    D, U, b = _banded_system(m, rng)
+    x_ref = np.linalg.solve(_dense_of(D, U), b)
+    x, ok = jax.jit(band_cr.cr_solve)(jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-9)
+
+
 def test_cr_fp32_with_refinement(rng):
     D, U, b = _banded_system(22, rng, dtype=np.float32)
     x_ref = np.linalg.solve(_dense_of(D, U).astype(np.float64), b.astype(np.float64))
