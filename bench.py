@@ -249,23 +249,26 @@ def main():
     # --- tunnel-weather probe (after the trials so it can't disturb them):
     # 10 MB upload + 4-byte readback, median of 3 — the two numbers that
     # explain wall-clock deltas between sessions (docs/PERF_NOTES.md)
-    import jax.numpy as jnp_probe
-
     dev = jax.devices()[0]
-    blob = np.random.default_rng(0).random(10 * 1024 * 1024 // 8)
+    # EXPLICIT float32: a float64 blob is canonicalized host-side to fp32
+    # under the default x64-off config, so only half the bytes would cross
+    # the wire and the reported MB/s would be ~2x the real tunnel rate
+    # (historical probes before round 5 had exactly that bias — comparable
+    # to each other, but 2x optimistic in absolute terms)
+    blob = np.random.default_rng(0).random(10 * 1024 * 1024 // 4).astype(np.float32)
     ups, rts = [], []
     for _ in range(3):
         t0 = time.perf_counter()
         d = jax.device_put(blob, dev)
         d.block_until_ready()
         ups.append(time.perf_counter() - t0)
-        sprobe = jnp_probe.sum(d[:1])
+        sprobe = jnp.sum(d[:1])
         sprobe.block_until_ready()
         t0 = time.perf_counter()
         float(sprobe)
         rts.append(time.perf_counter() - t0)
         del d
-    probe_mbps = 10.0 / float(np.median(ups))
+    probe_mbps = blob.nbytes / 1e6 / float(np.median(ups))
 
     print(
         json.dumps(

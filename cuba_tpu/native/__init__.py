@@ -20,7 +20,11 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "symbolic.cpp")
-_LIB_PATH = os.path.join(_HERE, "_libcuba_native.so")
+# the ABI version is part of the FILENAME: dlopen caches loaded objects by
+# pathname, so an in-process "rebuild and reload the same path" can never
+# replace a stale mapping — versioned names make a stale-ABI .so simply not
+# load in the first place (see _ABI_VERSION below)
+_LIB_PATH = os.path.join(_HERE, "_libcuba_native.abi2.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -127,16 +131,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     return None
             lib = ctypes.CDLL(_LIB_PATH)
             if _lib_abi(lib) != _ABI_VERSION:
-                # mtime said current but the ABI disagrees (copied-in .so,
-                # clock skew, partial sync): rebuild once, then hard-gate —
-                # running a wrong-ABI library risks buffer overflows, the
-                # NumPy path is the safe fallback
-                del lib
-                if not _build():
-                    return None
-                lib = ctypes.CDLL(_LIB_PATH)
-                if _lib_abi(lib) != _ABI_VERSION:
-                    return None
+                # The ABI-versioned filename makes this near-impossible (a
+                # file at this name claiming another ABI is corrupt or
+                # malicious); running it risks buffer overflows and an
+                # in-process reload cannot work anyway (dlopen caches by
+                # pathname), so fall back to the NumPy path for this
+                # process — the next process gets a fresh build because we
+                # remove the bad file.
+                try:
+                    os.unlink(_LIB_PATH)
+                except OSError:
+                    pass
+                return None
             _lib = _bind(lib)
         except OSError:
             _lib = None

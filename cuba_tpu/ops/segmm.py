@@ -664,17 +664,21 @@ def sc_geometry() -> tuple:
     # validate before the values reach integer division in the C++ planner
     # (0 would divide-by-zero / UB) or the kernel window geometry (lane
     # windows must be 128-multiples and fit inside one chunk)
-    if chunk <= 0:
-        warnings.warn(f"CUBA_TPU_SC_CHUNK={chunk} invalid (must be > 0); using 1024")
+    if chunk <= 0 or chunk % 64 != 0:
+        warnings.warn(
+            f"CUBA_TPU_SC_CHUNK={chunk} invalid (must be a positive "
+            f"multiple of 64); using 1024"
+        )
         chunk = 1024
     if sb <= 0 or sb % 64 != 0 or sb > chunk:
         # the kernel gather window is 2*sb lanes, so sb must be a positive
         # multiple of 64 (window a multiple of 128) and fit one chunk
+        fallback = max(64, min(512, chunk) // 64 * 64)
         warnings.warn(
             f"CUBA_TPU_SC_SB={sb} invalid (must be a positive multiple of "
-            f"64 and <= chunk={chunk}); using {min(512, chunk)}"
+            f"64 and <= chunk={chunk}); using {fallback}"
         )
-        sb = min(512, chunk)
+        sb = fallback
     return (chunk, sb, 1024)
 
 

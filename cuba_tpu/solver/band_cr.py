@@ -291,7 +291,13 @@ def _factor_equilibrated(D: jnp.ndarray, U: jnp.ndarray):
     import os
 
     n_orig = D.shape[0] * D.shape[1]
-    merge = int(os.environ.get("CUBA_TPU_CR_MERGE", "0"))
+    try:
+        merge = int(os.environ.get("CUBA_TPU_CR_MERGE", "0"))
+    except ValueError:
+        import warnings
+
+        warnings.warn("CUBA_TPU_CR_MERGE is not an integer; using 0")
+        merge = 0
     for _ in range(merge):
         if D.shape[0] < 4:
             break

@@ -85,6 +85,16 @@ def _jit_cache_get(key):
     return v
 
 
+def _jit_cached(key, make):
+    """Get-or-compile: the one idiom every cache site uses.  ``make``
+    returns the PYTHON callable to jit (called only on a miss)."""
+    fn = _jit_cache_get(key)
+    if fn is None:
+        fn = jax.jit(make())
+        _jit_cache_put(key, fn)
+    return fn
+
+
 class State(NamedTuple):
     qs: jnp.ndarray  # [total_p, 4]
     ts: jnp.ndarray  # [total_p, 3]
@@ -428,11 +438,7 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
         # unpack into its own jitted dispatch (e.g. the LM loop), removing
         # one ~30-50ms tunnel round trip per engine construction
         return args, unpack, key
-    fn = _jit_cache_get(key)
-    if fn is None:
-        fn = jax.jit(unpack)
-        _jit_cache_put(key, fn)
-    return fn(*args)
+    return _jit_cached(key, lambda: unpack)(*args)
 
 class BlockSolverEngine:
     """Owns device constants + compiled functions for one problem structure."""
@@ -1103,11 +1109,7 @@ class BlockSolverEngine:
     def _materialize(self):
         if self._consts_cache is None:
             key = ("materialize", self._unpack_key)
-            fn = _jit_cache_get(key)
-            if fn is None:
-                fn = jax.jit(self._unpack)
-                _jit_cache_put(key, fn)
-            st, co = fn(*self._blobs)
+            st, co = _jit_cached(key, lambda: self._unpack)(*self._blobs)
             self._state_cache, self._consts_cache = st, co
 
     @property
@@ -1158,8 +1160,8 @@ class BlockSolverEngine:
             # fast path: unpack the uploaded blobs INSIDE the LM dispatch
             # (used by the public API's first optimize after initialize)
             key = ("lm_run_blob", niterations, self._unpack_key) + self._spec
-            fn = _jit_cache_get(key)
-            if fn is None:
+
+            def make():
                 run = self._make_lm_run(niterations)
                 unpack = self._unpack
 
@@ -1167,16 +1169,13 @@ class BlockSolverEngine:
                     st, co = unpack(*blobs)
                     return run(st, co)
 
-                fn = jax.jit(blob_run)
-                _jit_cache_put(key, fn)
-            return fn(*self._blobs)
+                return blob_run
+
+            return _jit_cached(key, make)(*self._blobs)
         if state is None:
             state = self.state
         key = ("lm_run", niterations) + self._spec
-        fn = _jit_cache_get(key)
-        if fn is None:
-            fn = jax.jit(self._make_lm_run(niterations))
-            _jit_cache_put(key, fn)
+        fn = _jit_cached(key, lambda: self._make_lm_run(niterations))
         return fn(state, self.consts)
 
     # ------------------------------------------------------------------
@@ -1312,12 +1311,7 @@ class BlockSolverEngine:
     # ------------------------------------------------------------------
 
     def _get_jit(self, name, fn):
-        key = (name,) + self._spec
-        cached = _jit_cache_get(key)
-        if cached is None:
-            cached = jax.jit(fn)
-            _jit_cache_put(key, cached)
-        return cached
+        return _jit_cached((name,) + self._spec, lambda: fn)
 
     def optimize_profiled(self, state: State, niterations: int):
         """Reference-equivalent LM loop stepped from the host with per-phase

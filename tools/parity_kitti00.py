@@ -65,8 +65,6 @@ def _build(shape):
         prob.mono_p, prob.mono_l, prob.mono_z, prob.mono_w,
         prob.stereo_p, prob.stereo_l, prob.stereo_z, prob.stereo_w,
     )
-    from cuba_tpu.ops import robust
-
     kernels = ((robust.HUBER, float(np.sqrt(5.991))),
                (robust.HUBER, float(np.sqrt(7.815))))
     nedges = prob.mono_p.size + prob.stereo_p.size

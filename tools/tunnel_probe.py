@@ -16,7 +16,10 @@ import numpy as np
 
 def main(reps: int = 8):
     dev = jax.devices()[0]
-    blob = np.random.default_rng(0).random(10 * 1024 * 1024 // 8)  # 10 MB f64
+    # explicit float32: a float64 blob is canonicalized host-side to fp32
+    # under x64-off, halving the bytes on the wire — probes before round 5
+    # reported ~2x the real tunnel MB/s because of this
+    blob = np.random.default_rng(0).random(10 * 1024 * 1024 // 4).astype(np.float32)
     up, rt = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -29,10 +32,11 @@ def main(reps: int = 8):
         float(s)
         rt.append(time.perf_counter() - t0)
         del d
-    ups = 10.0 / np.median(up)
+    mb = blob.nbytes / 1e6
+    ups = mb / np.median(up)
     print(json.dumps({
         "upload_MBps": round(float(ups), 1),
-        "upload_MBps_best": round(float(10.0 / min(up)), 1),
+        "upload_MBps_best": round(float(mb / min(up)), 1),
         "rt_ms": round(float(np.median(rt) * 1e3), 2),
         "platform": dev.platform,
     }))
