@@ -356,11 +356,13 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
     transfer + cheap async on-device slices.  f64/exotic dtypes ride in
     plain per-dtype groups (the fp64 XLA path).
 
-    ``early`` is (device_blob, early_meta, early_key) from a _pack_group
-    blob that was dispatched BEFORE the planning pass; _EarlyRef leaves are
-    rebuilt from it (and padded up to the plan's final shapes) instead of
-    re-uploading.  ``transform`` (e.g. mxu.derive_consts) runs inside the
-    same unpack dispatch.
+    ``early`` is a sequence of (device_blob, meta) _pack_group pairs that
+    were dispatched BEFORE the planning pass (the engine ships two: the
+    cheap-to-pack float tables first so the big transfer hits the wire in
+    the ctor's first milliseconds, then the delta-encoded int tables);
+    _EarlyRef leaves are rebuilt from them (and padded up to the plan's
+    final shapes) instead of re-uploading.  ``transform`` (e.g.
+    mxu.derive_consts) runs inside the same unpack dispatch.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
 
@@ -394,7 +396,7 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
             _debug_upload(
                 [(k, m, blob[o : o + p]) for k, m, o, p, n in gmeta[0]],
                 flats + [blob],
-                0 if early is None else early[0].size * 4,
+                sum(d.size * 4 for d, _m in early) if early else 0,
                 tree,
             )
         flats.append(blob)
@@ -403,19 +405,22 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
     shapes = tuple(
         None if isinstance(l, _EarlyRef) else np.asarray(l).shape for l in leaves
     )
-    early_dev, early_meta = early if early is not None else (None, None)
+    early_groups = tuple(early) if early is not None else ()
+    early_metas = tuple(m for _d, m in early_groups)
     spec = (
         tuple(fmeta), gmeta, shapes,
         tuple(ref.spec(i) for i, ref in sorted(early_refs.items())),
         tuple((f.dtype.str, f.shape) for f in flats),
-        early_meta,
+        early_metas,
     )
     key = ("unpack", spec, transform_key)
 
     def unpack(*fs):
         out = [None] * len(leaves)
         if early_refs:
-            evals = _unpack_group(fs[len(flats)], early_meta)
+            evals = {}
+            for g, meta in enumerate(early_metas):
+                evals.update(_unpack_group(fs[len(flats) + g], meta))
             for i, ref in early_refs.items():
                 src = evals[ref.key].reshape(ref.src_shape)
                 if ref.dst_shape != ref.src_shape:
@@ -432,7 +437,7 @@ def _packed_device_put(tree, transform=None, transform_key=None, early=None,
         tree_out = jax.tree_util.tree_unflatten(treedef, list(out))
         return transform(tree_out) if transform is not None else tree_out
 
-    args = d_flats + ((early_dev,) if early_refs else ())
+    args = d_flats + (tuple(d for d, _m in early_groups) if early_refs else ())
     if defer:
         # hand back the blobs + the PURE unpack fn: the caller fuses the
         # unpack into its own jitted dispatch (e.g. the LM loop), removing
@@ -533,10 +538,18 @@ class BlockSolverEngine:
         sc_early = None
         if want_mxu and dt == np.float32:
             gm, gs = mxu.guess_e_pads(s)
-            if config.solver != "pcg":
-                sc_early = mxu.plan_schur_for(s)
+            # TWO early groups, floats first: the float tables (state,
+            # cams, transposed measurements/weights — ~7 of the ~10 MB
+            # wire) pack with a plain concat+bitcast, so their transfer
+            # hits the tunnel within the ctor's first milliseconds; the
+            # int tables need the delta-encode pass (~50 ms host) and the
+            # Schur plan, and ride a second blob.  Each device_put gets a
+            # 1-element async touch: through the serving tunnel the
+            # physical transfer otherwise materializes at the first
+            # dependent dispatch, pushing ~0.24 s of wire time into the
+            # first optimize instead of overlapping the host planning.
             fl = mxu.rows_float_arrays(s, gm, gs)
-            eitems = [
+            fitems = [
                 ("qs", np.asarray(s.qs, dt), 0),
                 ("ts", np.asarray(s.ts, dt), 0),
                 ("Xws", np.asarray(s.Xws, dt), 0),
@@ -545,28 +558,29 @@ class BlockSolverEngine:
                 ("measT_s", fl["measT_s"], 0),
                 ("omegaT_m", fl["omegaT_m"], 0),
                 ("omegaT_s", fl["omegaT_s"], 0),
-            ] + [
+            ]
+            fblob, fmeta_e = _pack_group([(n, a) for n, a, _pv in fitems])
+            fdev = jax.device_put(fblob)
+            jnp.sum(fdev[:1])
+            if config.solver != "pcg":
+                sc_early = mxu.plan_schur_for(s)
+            iitems = [
                 (name, _narrow16(a), pv)
                 for name, (a, pv) in mxu.early_int_arrays(s, gm, gs, sc_early).items()
             ]
-            eblob, emeta = _pack_group([(n, a) for n, a, _pv in eitems])
+            iblob, imeta_e = _pack_group([(n, a) for n, a, _pv in iitems])
             if os.environ.get("CUBA_TPU_DEBUG_UPLOAD"):
                 # per-array wire breakdown (name, pack mode, packed MB),
                 # largest first — the tool for attacking the ctor wire floor
-                print(f"# early blob: {eblob.nbytes/1e6:.2f} MB", file=sys.stderr)
-                for k, m, _o, p, _n in sorted(emeta[0], key=lambda t: -t[3]):
-                    print(f"#   early {k} mode={m} {p*4/1e6:.2f} MB", file=sys.stderr)
-            early_dev = jax.device_put(eblob)
-            # force the wire transfer to START now: through the serving
-            # tunnel, device_put completes once the buffer is staged, and
-            # the physical transfer otherwise materializes at the first
-            # dependent dispatch — which would push the ~0.14 s of wire
-            # time (9.7 MB at ~70 MB/s) into the first optimize instead of
-            # overlapping it with the ~0.2 s host planning pass below.
-            # A 1-element async touch (no readback) is enough to schedule
-            # the transfer + dispatch in the background.
-            jnp.sum(early_dev[:1])
-            early = (early_dev, emeta)
+                for label, blob_, meta_ in (("early-f", fblob, fmeta_e),
+                                            ("early-i", iblob, imeta_e)):
+                    print(f"# {label} blob: {blob_.nbytes/1e6:.2f} MB", file=sys.stderr)
+                    for k, m, _o, p, _n in sorted(meta_[0], key=lambda t: -t[3]):
+                        print(f"#   {label} {k} mode={m} {p*4/1e6:.2f} MB", file=sys.stderr)
+            idev = jax.device_put(iblob)
+            jnp.sum(idev[:1])
+            early = ((fdev, fmeta_e), (idev, imeta_e))
+            eitems = fitems + iitems
             early_avail = {n: (a.shape, pv) for n, a, _pv2 in eitems for pv in [_pv2]}
 
         self.mxu_plans = None

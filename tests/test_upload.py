@@ -65,7 +65,9 @@ def test_early_ref_pad_growth():
     e_int = np.concatenate([np.arange(5000, dtype=np.int32), np.full(1000, -1, np.int32)])
     e_f = np.arange(12, dtype=np.float32).reshape(2, 6)
     eblob, emeta = _pack_group([("ids", e_int), ("rows", e_f)])
-    early = (jax.device_put(jnp.asarray(eblob)), emeta)
+    # ``early`` is a sequence of (device_blob, meta) groups (the engine
+    # ships two: floats-first, then delta-encoded ints)
+    early = ((jax.device_put(jnp.asarray(eblob)), emeta),)
 
     tree = {
         "ids": _EarlyRef("ids", (6000,), (8192,), -1),
