@@ -713,11 +713,13 @@ def plan_mxu(
 
     def pad_ids(ids, n, valid_mask=None):
         out = np.full(n, -1, np.int32)
-        v = np.asarray(ids, np.int64)
+        # int32 straight through (indices all < 2^31); the int64 detour
+        # doubled the copy bandwidth of ~10 padded tables per plan pass
+        v = np.asarray(ids, np.int32)
         if valid_mask is None:
             out[: v.size] = v
         else:
-            out[: v.size] = np.where(valid_mask, v, -1)
+            out[: v.size] = np.where(valid_mask, v, np.int32(-1))
         return out
 
     Em, Es = s.mono.count, s.stereo.count
