@@ -560,26 +560,43 @@ class BlockSolverEngine:
                 ("omegaT_s", fl["omegaT_s"], 0),
             ]
             fblob, fmeta_e = _pack_group([(n, a) for n, a, _pv in fitems])
-            fdev = jax.device_put(fblob)
-            jnp.sum(fdev[:1])
+            # split only when the float payload is big enough that starting
+            # its transfer early beats the cost of a second dispatch: at
+            # kitti07 scale (1.6 MB floats) the extra put+touch measured
+            # +0.05 s of ctor enqueue overhead, at kitti00 scale (6.9 MB)
+            # the early start wins
+            split = fblob.nbytes >= 4 << 20
+            fdev = None
+            if split:
+                fdev = jax.device_put(fblob)
+                jnp.sum(fdev[:1])
             if config.solver != "pcg":
                 sc_early = mxu.plan_schur_for(s)
             iitems = [
                 (name, _narrow16(a), pv)
                 for name, (a, pv) in mxu.early_int_arrays(s, gm, gs, sc_early).items()
             ]
-            iblob, imeta_e = _pack_group([(n, a) for n, a, _pv in iitems])
+            if split:
+                iblob, imeta_e = _pack_group([(n, a) for n, a, _pv in iitems])
+                groups = [(fblob, fmeta_e, "early-f"), (iblob, imeta_e, "early-i")]
+            else:
+                iblob, imeta_e = _pack_group(
+                    [(n, a) for n, a, _pv in fitems + iitems]
+                )
+                groups = [(iblob, imeta_e, "early")]
             if os.environ.get("CUBA_TPU_DEBUG_UPLOAD"):
                 # per-array wire breakdown (name, pack mode, packed MB),
                 # largest first — the tool for attacking the ctor wire floor
-                for label, blob_, meta_ in (("early-f", fblob, fmeta_e),
-                                            ("early-i", iblob, imeta_e)):
+                for blob_, meta_, label in groups:
                     print(f"# {label} blob: {blob_.nbytes/1e6:.2f} MB", file=sys.stderr)
                     for k, m, _o, p, _n in sorted(meta_[0], key=lambda t: -t[3]):
                         print(f"#   {label} {k} mode={m} {p*4/1e6:.2f} MB", file=sys.stderr)
             idev = jax.device_put(iblob)
             jnp.sum(idev[:1])
-            early = ((fdev, fmeta_e), (idev, imeta_e))
+            if split:
+                early = ((fdev, fmeta_e), (idev, imeta_e))
+            else:
+                early = ((idev, imeta_e),)
             eitems = fitems + iitems
             early_avail = {n: (a.shape, pv) for n, a, _pv2 in eitems for pv in [_pv2]}
 
