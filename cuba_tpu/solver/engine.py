@@ -530,8 +530,8 @@ class BlockSolverEngine:
         # dispatch the plan-INDEPENDENT constants — state, cams, the
         # transposed measurement/omega rows AND the big structure-derived
         # int index tables (incl. the Schur triplet ids, which the C++
-        # symbolic pass already computed) — packed into ONE int32 blob
-        # BEFORE the host planning pass: its ~0.2s tunnel transfer overlaps
+        # symbolic pass already computed) — as one or two int32 blobs
+        # BEFORE the host planning pass: their tunnel transfer overlaps
         # plan_mxu + the residual constant packing below.
         early = None
         early_avail = {}
@@ -559,18 +559,23 @@ class BlockSolverEngine:
                 ("omegaT_m", fl["omegaT_m"], 0),
                 ("omegaT_s", fl["omegaT_s"], 0),
             ]
-            fblob, fmeta_e = _pack_group([(n, a) for n, a, _pv in fitems])
+            fbytes = sum(np.asarray(a).nbytes for _n, a, _pv in fitems)
             # split only when the float payload is big enough that starting
             # its transfer early beats the cost of a second dispatch: at
             # kitti07 scale (1.6 MB floats) the extra put+touch measured
             # +0.05 s of ctor enqueue overhead, at kitti00 scale (6.9 MB)
-            # the early start wins
-            split = fblob.nbytes >= 4 << 20
+            # the early start wins.  Gate on raw nbytes (floats pack ~1:1
+            # apart from the constant-array 'fc' shrink) so the non-split
+            # path never packs the floats twice
+            split = fbytes >= 4 << 20
             fdev = None
             if split:
+                fblob, fmeta_e = _pack_group([(n, a) for n, a, _pv in fitems])
                 fdev = jax.device_put(fblob)
                 jnp.sum(fdev[:1])
-            if config.solver != "pcg":
+            if self.solver != "pcg":
+                # the RESOLVED solver, not config.solver: 'auto' problems
+                # that resolve to PCG never touch the Schur tables
                 sc_early = mxu.plan_schur_for(s)
             iitems = [
                 (name, _narrow16(a), pv)
@@ -606,7 +611,7 @@ class BlockSolverEngine:
             # PCG never materializes the Schur complement: skip the
             # multiplication-triplet + dense-formation planning entirely
             plans, mxu_consts = mxu.plan_mxu(
-                s, self.pad_blocks, need_dense=config.solver != "pcg",
+                s, self.pad_blocks, need_dense=self.solver != "pcg",
                 sc=sc_early,
             )
             if plans.ok:

@@ -591,6 +591,19 @@ def pack_schur_ids(sc, col: Optional[np.ndarray] = None,
     return out
 
 
+def _pad_ids(ids, n, valid_mask=None):
+    """-1-padded int32 table of ``ids`` (int32 straight through — the
+    int64 detour doubled the copy bandwidth of ~10 padded tables per
+    plan pass; all indices here are < 2^31)."""
+    out = np.full(n, -1, np.int32)
+    v = np.asarray(ids, np.int32)
+    if valid_mask is None:
+        out[: v.size] = v
+    else:
+        out[: v.size] = np.where(valid_mask, v, np.int32(-1))
+    return out
+
+
 def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
     """The big plan-INDEPENDENT int index tables, built at the guessed edge
     paddings so the engine can pack + dispatch them before plan_mxu runs
@@ -603,14 +616,7 @@ def early_int_arrays(s: BAStructure, e_pad_m: int, e_pad_s: int, sc) -> dict:
     n_hpl = s.n_hpl
     hpl_pad = max(_round_up(n_hpl, 1024), sc.n_slot_pad if sc is not None else 1024)
 
-    def pad_ids(ids, n, valid_mask=None):
-        out = np.full(n, -1, np.int32)
-        v = np.asarray(ids, np.int64)
-        if valid_mask is None:
-            out[: v.size] = v
-        else:
-            out[: v.size] = np.where(valid_mask, v, -1)
-        return out
+    pad_ids = _pad_ids
 
     out = {
         "e2h_m": pad_ids(s.edge2hpl[:Em], e_pad_m, s.edge2hpl[:Em] < n_hpl),
@@ -711,16 +717,7 @@ def plan_mxu(
             "(the engine rounds num_p up via engine._pad_blocks)"
         )
 
-    def pad_ids(ids, n, valid_mask=None):
-        out = np.full(n, -1, np.int32)
-        # int32 straight through (indices all < 2^31); the int64 detour
-        # doubled the copy bandwidth of ~10 padded tables per plan pass
-        v = np.asarray(ids, np.int32)
-        if valid_mask is None:
-            out[: v.size] = v
-        else:
-            out[: v.size] = np.where(valid_mask, v, np.int32(-1))
-        return out
+    pad_ids = _pad_ids
 
     Em, Es = s.mono.count, s.stereo.count
     # pass int32 straight through: the C++ planner consumes int32 and the

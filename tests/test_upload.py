@@ -87,6 +87,41 @@ def test_early_ref_pad_growth():
     np.testing.assert_array_equal(np.asarray(out["plain"]), np.arange(7))
 
 
+def test_two_group_early_unpack():
+    """The split early upload ships TWO (blob, meta) groups (floats first,
+    then delta-encoded ints); the unpack must merge evals across groups and
+    rebuild every _EarlyRef from whichever group holds its key — a swapped
+    pairing or wrong arg indexing would only surface on the kitti00 bench
+    otherwise (the 4 MB split gate keeps small tests single-group)."""
+    f_a = np.arange(24, dtype=np.float32).reshape(4, 6)
+    f_b = np.linspace(-1, 1, 5000).astype(np.float32)
+    blob_f, meta_f = _pack_group([("rows", f_a), ("vals", f_b)])
+    e_int = np.concatenate([np.arange(5000, dtype=np.int32), np.full(200, -1, np.int32)])
+    blob_i, meta_i = _pack_group([("ids", e_int)])
+    early = (
+        (jax.device_put(jnp.asarray(blob_f)), meta_f),
+        (jax.device_put(jnp.asarray(blob_i)), meta_i),
+    )
+    tree = {
+        "rows": _EarlyRef("rows", (4, 6), (4, 8), 0),
+        "vals": _EarlyRef("vals", (5000,), (5000,), 0),
+        "ids": _EarlyRef("ids", (5200,), (6000,), -1),
+        "plain": np.arange(3, dtype=np.int32),
+    }
+    blobs, unpack, key = _packed_device_put(tree, early=early, defer=True)
+    out = jax.jit(unpack)(*blobs)
+    rows = np.asarray(out["rows"])
+    assert rows.shape == (4, 8)
+    np.testing.assert_array_equal(rows[:, :6], f_a)
+    assert np.all(rows[:, 6:] == 0)
+    np.testing.assert_allclose(np.asarray(out["vals"]), f_b, rtol=0, atol=0)
+    ids = np.asarray(out["ids"])
+    assert ids.shape == (6000,)
+    np.testing.assert_array_equal(ids[:5000], np.arange(5000))
+    assert np.all(ids[5000:] == -1)
+    np.testing.assert_array_equal(np.asarray(out["plain"]), np.arange(3))
+
+
 def test_early_engages_at_scale():
     """The engine's early blob must actually be consumed by the unpack
     (VERDICT r1: the round-1 pad-match condition silently failed at kitti00
