@@ -271,3 +271,28 @@ def test_canonical_ntri_native_matches_numpy():
     nat2 = native.canonical_ntri(li, sc2.lj, sc2.sb, sc2.chunk,
                                  sc2.slot_block, col)
     assert nat2 == -1 and numpy_ref(sc2) == -1
+
+
+def test_native_abi_gate_rejects_stale_library(monkeypatch):
+    """get_lib() hard-gates on ba_abi_version: a library whose exported
+    symbols resolve but whose ABI differs (stale build product, copied-in
+    .so) must not be used — its buffer contracts may differ (an old 5-arg
+    ba_symbolic_compile would overflow the geometry-sized fused-plan
+    buffers).  The bad file is removed so the NEXT process rebuilds."""
+    import os
+
+    from cuba_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    # fresh gate evaluation with a wrong-ABI report
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib_abi", lambda lib: native._ABI_VERSION + 1)
+    assert native.get_lib() is None
+    assert not os.path.exists(native._LIB_PATH)  # bad file removed
+    # restore: next get_lib() rebuilds from source and passes the real gate
+    monkeypatch.undo()
+    native._lib, native._tried = None, False
+    lib = native.get_lib()
+    assert lib is not None and native._lib_abi(lib) == native._ABI_VERSION
